@@ -1,0 +1,106 @@
+"""Tests for the gin-compatible config engine, including parsing the five
+shipped reference-format config files."""
+
+import os
+
+import pytest
+
+from greedy_multimodal_learning_tpu import config as cfg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parse_basic_bindings():
+    cfg.parse_config(
+        """
+        # a comment
+        train.batch_size=8
+        train.lr = 0.1
+        train.callbacks=['CompletedStopping', 'ReduceLROnPlateau']
+        Bias_Mitigation_Strong.MMTMnames = ['visual', 'skeleton']
+        get_mvdcndata.specific_views=[0, 6]# trailing comment
+        MMTM_MVCNN.device='cuda:0'
+        """
+    )
+    assert cfg.query("train", "batch_size") == 8
+    assert cfg.query("train", "lr") == 0.1
+    assert cfg.query("train", "callbacks") == ["CompletedStopping", "ReduceLROnPlateau"]
+    assert cfg.query("Bias_Mitigation_Strong", "MMTMnames") == ["visual", "skeleton"]
+    assert cfg.query("get_mvdcndata", "specific_views") == [0, 6]
+    assert cfg.query("MMTM_MVCNN", "device") == "cuda:0"
+
+
+def test_configurable_function_injection():
+    @cfg.configurable
+    def f(a, b=1, c=2):
+        return a, b, c
+
+    cfg.parse_config("f.b=10\nf.c=20")
+    assert f(0) == (0, 10, 20)
+    # caller-supplied kwargs win over bindings
+    assert f(0, c=5) == (0, 10, 5)
+    # positional args win over bindings
+    assert f(0, 7) == (0, 7, 20)
+
+
+def test_configurable_class_injection():
+    @cfg.configurable
+    class K:
+        def __init__(self, x=0, y=0):
+            self.x = x
+            self.y = y
+
+    cfg.parse_config("K.x=3")
+    k = K()
+    assert (k.x, k.y) == (3, 0)
+    k2 = K(x=9, y=1)
+    assert (k2.x, k2.y) == (9, 1)
+
+
+def test_macros_and_references():
+    @cfg.configurable
+    def target():
+        return "made"
+
+    cfg.parse_config(
+        """
+        LR = 0.5
+        opt.lr = %LR
+        opt.factory = @target
+        opt.made = @target()
+        """
+    )
+    assert cfg.query("opt", "lr") == 0.5
+    assert cfg.query("opt", "factory").resolve()() == "made"
+    assert cfg.query("opt", "made").resolve() == "made"
+
+
+def test_parse_shipped_configs():
+    """Our five shipped configs (same binding names as the reference's) must
+    all parse."""
+    cfgdir = os.path.join(REPO, "configs")
+    names = ["training.gin", "training_guided.gin", "training_random.gin", "recording.gin", "eval.gin"]
+    for name in names:
+        path = os.path.join(cfgdir, name)
+        if not os.path.exists(path):
+            pytest.skip(f"{name} not written yet")
+        cfg.clear_config()
+        cfg.parse_config_file(path)
+        assert cfg.CONFIG, name
+
+
+def test_hash_separated_binding_string():
+    cfg.parse_config_files_and_bindings([], "a.b=1\na.c=2")
+    assert cfg.query("a", "b") == 1
+    assert cfg.query("a", "c") == 2
+
+
+def test_required_raises():
+    @cfg.configurable
+    def g(x=cfg.REQUIRED):
+        return x
+
+    with pytest.raises(cfg.ConfigError):
+        g()
+    cfg.parse_config("g.x=5")
+    assert g() == 5
