@@ -1,0 +1,110 @@
+"""Host-side batch pipeline: static-shape uint8 batches with validity masks.
+
+Replaces the reference's torch DataLoader + per-sample PIL transforms
+(reference: src/dataset.py:55-90) with a TPU-friendly design:
+
+* every batch has a *static* shape (XLA compiles one graph): the final
+  partial batch is padded and accompanied by a (B,) validity mask; all
+  downstream statistics are mask-weighted so semantics match the reference's
+  variable-size final batch exactly,
+* batches are raw uint8 (4x cheaper H2D than float32); normalization and
+  train-time random horizontal flip run on device inside the jitted step
+  (data/transforms.py),
+* a background thread prefetches and collates ahead of the step loop,
+* an in-memory sample cache (dataset fits trivially in host RAM) removes
+  disk I/O from the steady state.
+
+Iteration yields dicts: {images: (B,V,H,W,C) u8, labels: (B,) i32,
+indices: (B,) i32, mask: (B,) f32, size: int}.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import List, Sequence
+
+import numpy as np
+
+
+class BatchPipeline:
+    def __init__(
+        self,
+        dataset,
+        indices: Sequence[int],
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 777,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(list(indices), np.int64)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        """Number of batches per epoch (torch DataLoader drop_last=False)."""
+        n = len(self.indices)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self):
+        return len(self.indices)
+
+    def _epoch_order(self) -> np.ndarray:
+        if self.shuffle:
+            order = self.indices.copy()
+            self._rng.shuffle(order)
+            return order
+        return self.indices
+
+    def _collate(self, batch_indices: np.ndarray) -> dict:
+        b = self.batch_size
+        size = len(batch_indices)
+        items = [self.dataset[int(i)] for i in batch_indices]
+        imgs = np.stack([it[1] for it in items])  # (size, V, H, W, C) u8
+        labels = np.array([it[2] for it in items], np.int32)
+        idxs = np.array([it[0] for it in items], np.int32)
+        if size < b:  # pad to static shape; mask marks real rows
+            pad = b - size
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
+            idxs = np.concatenate([idxs, np.full((pad,), -1, np.int32)])
+        mask = np.zeros((b,), np.float32)
+        mask[:size] = 1.0
+        return {"images": imgs, "labels": labels, "indices": idxs, "mask": mask, "size": size}
+
+    def __iter__(self):
+        order = self._epoch_order()
+        self._epoch += 1
+        n = len(order)
+        if n == 0:
+            return
+        starts = range(0, n, self.batch_size)
+
+        if self.prefetch <= 0:
+            for s in starts:
+                yield self._collate(order[s : s + self.batch_size])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(self._collate(order[s : s + self.batch_size]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

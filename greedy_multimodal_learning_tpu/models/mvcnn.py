@@ -1,0 +1,151 @@
+"""MMTM_MVCNN — N-tower multi-view CNN with MMTM fusion at three depths.
+
+Behavioral spec from the reference model (reference: src/model.py:16-108):
+per-view ResNet-18 towers, MMTM fusion after layer groups 2/3/4 at channel
+widths 128/256/512 (ratio 4), global-average heads, blended logits
+``mean(per-view logits)``.  Generalized to N modalities (the reference
+hardcodes 2; the BASELINE config 4 requires a 3-modality variant).
+
+TPU-first departures from the reference:
+* NHWC layout, static shapes, (B,) validity mask for padded batches,
+* curation flags are traced scalars (one compiled graph for all modes),
+* ``mmtm_off`` average squeeze maps are passed functionally at apply time
+  (the reference loads them into the module at construction,
+  src/model.py:39-48 — the gin surface is honored by the eval entry point).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .mmtm import MMTM, mmtm_config_kwargs
+from .resnet import ResNet18Trunk
+from .. import config as cfg
+
+# ModelNet40 class names (reference: src/model.py:30-34).
+MODELNET40_CLASSNAMES = [
+    "airplane", "bathtub", "bed", "bench", "bookshelf", "bottle", "bowl", "car", "chair",
+    "cone", "cup", "curtain", "desk", "door", "dresser", "flower_pot", "glass_box",
+    "guitar", "keyboard", "lamp", "laptop", "mantel", "monitor", "night_stand",
+    "person", "piano", "plant", "radio", "range_hood", "sink", "sofa", "stairs",
+    "stool", "table", "tent", "toilet", "tv_stand", "vase", "wardrobe", "xbox",
+]
+
+# Default 2-modality names used for BDR parameter grouping
+# (reference: configs/training.gin Bias_Mitigation_Strong.MMTMnames).
+DEFAULT_MODALITY_NAMES = ("visual", "skeleton")
+
+
+class MMTMMVCNN(nn.Module):
+    """N-tower ResNet-18 + MMTM fusion model.
+
+    ``num_towers`` is the number of modalities (views routed to separate
+    towers); the reference's ``num_views`` gin binding maps here.
+    """
+
+    nclasses: int = 40
+    num_towers: int = 2
+    modality_names: Sequence[str] = DEFAULT_MODALITY_NAMES
+    mmtm_ratio: float = 4.0
+    SEonly: bool = False
+    shareweight: bool = False
+    bug_compat: bool = True
+    use_pallas: bool = False
+    saving_mmtm_scales: bool = False
+    saving_mmtm_squeeze_array: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        n = self.num_towers
+        self.towers = [
+            ResNet18Trunk(nclasses=self.nclasses, dtype=self.dtype, name=f"net_view_{i}")
+            for i in range(n)
+        ]
+        # Fusion at layer groups 2..4 (widths 128/256/512, reference
+        # src/model.py:58-60).
+        self.fusion_widths = {2: 128, 3: 256, 4: 512}
+        self.mmtms = {
+            li: MMTM(
+                dims=[w] * n,
+                ratio=self.mmtm_ratio,
+                modality_names=tuple(self.modality_names),
+                SEonly=self.SEonly,
+                shareweight=self.shareweight,
+                bug_compat=self.bug_compat,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"mmtm{li}",
+            )
+            for li, w in ((2, 128), (3, 256), (4, 512))
+        }
+
+    def __call__(
+        self,
+        x,
+        curation_mode=None,
+        caring_modality=None,
+        *,
+        train: bool = False,
+        valid_mask: Optional[jnp.ndarray] = None,
+        mmtm_off: bool = False,
+        average_squeezemaps: Optional[Sequence] = None,
+    ):
+        """x: (B, num_towers, H, W, C) image stack.
+
+        Returns (blend_logits, [per-view logits], scales, squeezed_mps)
+        mirroring the reference forward (src/model.py:63-108).
+        """
+        n = self.num_towers
+        x = x.astype(self.dtype)
+        feats = [self.towers[i].stem(x[:, i], train, valid_mask) for i in range(n)]
+        feats = [self.towers[i].layer(1, feats[i], train, valid_mask) for i in range(n)]
+
+        scales = []
+        squeezed_mps = []
+        for li in (2, 3, 4):
+            feats = [self.towers[i].layer(li, feats[i], train, valid_mask) for i in range(n)]
+            feats, scale, squeezed = self.mmtms[li](
+                feats,
+                curation_mode=curation_mode,
+                caring_modality=caring_modality,
+                turnoff_cross_modal_flow=mmtm_off,
+                average_squeezemaps=average_squeezemaps[li - 1] if mmtm_off else None,
+                valid_mask=valid_mask,
+                return_scale=self.saving_mmtm_scales,
+                return_squeezed_mps=self.saving_mmtm_squeeze_array,
+            )
+            scales.append(scale)
+            squeezed_mps.append(squeezed)
+
+        logits = [self.towers[i].head(feats[i]).astype(jnp.float32) for i in range(n)]
+        blend = sum(logits) / float(n)
+        return blend, logits, scales, squeezed_mps
+
+
+def build_model_from_config(dtype=None) -> MMTMMVCNN:
+    """Construct the flagship model from the reference's ``MMTM_MVCNN`` gin
+    surface (reference: src/model.py:15-27 + configs/*.gin)."""
+    q = lambda p, d: cfg.query("MMTM_MVCNN", p, d)
+    mk = mmtm_config_kwargs()
+    num_towers = int(q("num_views", 2))
+    names = cfg.query("Bias_Mitigation_Strong", "MMTMnames", None) or list(DEFAULT_MODALITY_NAMES)
+    if len(names) != num_towers:
+        names = [f"modal_{i}" for i in range(num_towers)]
+        if num_towers == 2:
+            names = list(DEFAULT_MODALITY_NAMES)
+    dtype_name = q("compute_dtype", "float32") if dtype is None else dtype
+    return MMTMMVCNN(
+        nclasses=int(q("nclasses", 40)),
+        num_towers=num_towers,
+        modality_names=tuple(names),
+        SEonly=mk["SEonly"],
+        shareweight=mk["shareweight"],
+        bug_compat=mk["bug_compat"],
+        use_pallas=mk["use_pallas"],
+        saving_mmtm_scales=bool(q("saving_mmtm_scales", False)),
+        saving_mmtm_squeeze_array=bool(q("saving_mmtm_squeeze_array", False)),
+        dtype=jnp.dtype(dtype_name) if isinstance(dtype_name, str) else dtype_name,
+    )

@@ -125,7 +125,9 @@ def configure_logger(
     if console_logging_level is None and file_logging_level is None:
         return lg
 
-    lg.setLevel(logging.DEBUG)
+    # INFO, not DEBUG: a DEBUG-level root logger switches jax's internal
+    # dispatch logging on, flooding every run.
+    lg.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
 
     if console_logging_level is not None:
