@@ -1,0 +1,454 @@
+"""Keras-style callback system (control plane).
+
+Mirrors the reference's callback layer (reference: src/callbacks.py) — same
+hook set (on_train_begin/end, on_epoch_begin/end, on_batch_begin/end,
+on_forward_begin, on_backward_end, on_val_batch_end), same concrete
+callbacks and gin names — with one deep difference: the balancing
+controllers no longer do any math.  Their decision logic lives on device
+inside the jitted step (engine/controller.py); the callback classes carry
+the gin-configured hyperparameters, tell the step builder which controller
+to compile, and surface the controller telemetry (d_BDR, curation_mode,
+caring_modality) into batch logs (reference: src/callbacks.py:235-238).
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import sys
+import timeit
+
+import numpy as np
+
+from .. import config as cfg
+from ..utils.logging_utils import configure_logger
+
+logger = logging.getLogger(__name__)
+
+
+class CallbackList:
+    def __init__(self, callbacks=None):
+        self.callbacks = list(callbacks or [])
+
+    def append(self, callback):
+        self.callbacks.append(callback)
+
+    def set_params(self, params):
+        for c in self.callbacks:
+            c.set_params(params)
+
+    def set_model(self, model):
+        for c in self.callbacks:
+            c.set_model(model)
+
+    def set_model_pytoune(self, model_pytoune):
+        for c in self.callbacks:
+            c.set_model_pytoune(model_pytoune)
+
+    def on_epoch_begin(self, epoch, logs=None):
+        for c in self.callbacks:
+            c.on_epoch_begin(epoch, logs or {})
+
+    def on_epoch_end(self, epoch, logs=None):
+        for c in self.callbacks:
+            c.on_epoch_end(epoch, logs or {})
+
+    def on_batch_begin(self, batch, logs=None):
+        for c in self.callbacks:
+            c.on_batch_begin(batch, logs or {})
+
+    def on_batch_end(self, batch, logs=None):
+        for c in self.callbacks:
+            c.on_batch_end(batch, logs or {})
+
+    def on_forward_begin(self, batch, data):
+        for c in self.callbacks:
+            c.on_forward_begin(batch, data)
+
+    def on_backward_end(self, batch):
+        for c in self.callbacks:
+            c.on_backward_end(batch)
+
+    def on_train_begin(self, logs=None):
+        for c in self.callbacks:
+            c.on_train_begin(logs or {})
+
+    def on_train_end(self, logs=None):
+        for c in self.callbacks:
+            c.on_train_end(logs or {})
+
+    def on_val_batch_end(self, batch, logs=None):
+        for c in self.callbacks:
+            c.on_val_batch_end(batch, logs or {})
+
+    def __iter__(self):
+        return iter(self.callbacks)
+
+
+class Callback:
+    def set_config(self, config):
+        self.config = config
+
+    def set_save_path(self, save_path):
+        self.save_path = save_path
+
+    def set_optimizer(self, optimizer):
+        self.optimizer = optimizer
+
+    def set_model(self, model, ignore=True):
+        if ignore:
+            return
+        self.model = model
+
+    def set_model_pytoune(self, model_pytoune):
+        self.model_pytoune = model_pytoune
+
+    def set_params(self, params):
+        self.params = params
+
+    def on_epoch_begin(self, epoch, logs):
+        pass
+
+    def on_epoch_end(self, epoch, logs):
+        pass
+
+    def on_batch_begin(self, batch, logs):
+        pass
+
+    def on_batch_end(self, batch, logs):
+        pass
+
+    def on_forward_begin(self, batch, data):
+        pass
+
+    def on_backward_end(self, batch):
+        pass
+
+    def on_train_begin(self, logs):
+        pass
+
+    def on_train_end(self, logs):
+        pass
+
+    def on_val_batch_end(self, batch, logs):
+        pass
+
+
+class _BalancingControllerBase(Callback):
+    """Common base: declares controller kind/params for the step compiler and
+    mirrors telemetry into batch logs."""
+
+    controller_kind = "none"
+
+    def controller_config(self):
+        return {}
+
+    def on_train_begin(self, logs):
+        # Reference resets curation flags at train begin
+        # (src/callbacks.py:190-196); the trainer resets the device state.
+        self.model_pytoune.reset_controller()
+
+    def on_batch_end(self, batch, logs):
+        # Telemetry already present in step outputs; mirror reference key
+        # names (src/callbacks.py:235-238).
+        pass
+
+
+@cfg.configurable
+class Bias_Mitigation_Strong(_BalancingControllerBase):
+    """Guided balancing (the paper's algorithm).  Parameters mirror the
+    reference gin surface (reference: src/callbacks.py:174-188)."""
+
+    controller_kind = "guided"
+
+    def __init__(
+        self,
+        epsilon=0.01,
+        curation_windowsize=5,
+        branchnames=("net_view_0", "net_view_1"),
+        starting_epoch=2,
+        MMTMnames=("visual", "skeleton"),
+    ):
+        self.epsilon = epsilon
+        self.curation_windowsize = curation_windowsize
+        self.branchnames = list(branchnames)
+        self.MMTMnames = list(MMTMnames)
+        self.starting_epoch = starting_epoch
+
+    def controller_config(self):
+        return dict(
+            epsilon=self.epsilon,
+            curation_windowsize=self.curation_windowsize,
+            branchnames=self.branchnames,
+            mmtm_names=self.MMTMnames,
+            starting_epoch=self.starting_epoch,
+        )
+
+    def on_epoch_begin(self, epoch, logs):
+        if epoch >= self.starting_epoch:
+            self.model_pytoune.unlock_controller()
+
+
+@cfg.configurable
+class Bias_Mitigation_Random(_BalancingControllerBase):
+    """Random-curation ablation (reference: src/callbacks.py:270-302).
+    The reference hardcodes starting_epoch=2 at train begin
+    (quirk #10); here it is configurable with the same default."""
+
+    controller_kind = "random"
+
+    def __init__(self, starting_epoch=2):
+        self.starting_epoch = starting_epoch
+
+    def controller_config(self):
+        return dict(starting_epoch=self.starting_epoch)
+
+    def on_epoch_begin(self, epoch, logs):
+        if epoch >= self.starting_epoch:
+            self.model_pytoune.unlock_controller()
+
+
+@cfg.configurable
+class CompletedStopping(Callback):
+    """Stop when the monitored metric hits exactly 100 for ``patience``
+    (cumulative, not consecutive — mirroring the reference's counter that
+    never resets; reference: src/callbacks.py:305-330)."""
+
+    def __init__(self, *, monitor="acc", patience=5, verbose=True):
+        self.monitor = monitor
+        self.patience = patience
+        self.verbose = verbose
+        self.stopped_epoch = 0
+
+    def on_train_begin(self, logs):
+        self.stopped_epoch = 0
+        self.counter = 0
+
+    def on_epoch_end(self, epoch, logs):
+        current = logs[self.monitor]
+        if current == 100:
+            self.counter += 1
+        if self.counter >= self.patience:
+            self.stopped_epoch = epoch
+            self.model_pytoune.stop_training = True
+
+    def on_train_end(self, logs):
+        if self.stopped_epoch > 0 and self.verbose:
+            print("Epoch %05d: completed stopping" % (self.stopped_epoch + 1))
+
+
+@cfg.configurable
+class ReduceLROnPlateau_PyTorch(Callback):
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics, self-contained:
+    mode min, rel threshold 1e-3, cooldown 0, min_lr 1e-6, eps 1e-8
+    (reference: src/callbacks.py:333-348)."""
+
+    def __init__(self, metric="loss", factor=0.3, patience=10):
+        self.metric = metric
+        self.factor = factor
+        self.patience = patience
+        self.threshold = 1e-3
+        self.min_lr = 1e-6
+        self.eps = 1e-8
+
+    def on_train_begin(self, logs):
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def on_epoch_end(self, epoch, logs):
+        current = float(logs[self.metric])
+        if current < self.best * (1.0 - self.threshold):
+            self.best = current
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.num_bad_epochs > self.patience:
+            old_lr = self.model_pytoune.get_lr()
+            new_lr = max(old_lr * self.factor, self.min_lr)
+            if old_lr - new_lr > self.eps:
+                self.model_pytoune.set_lr(new_lr)
+                print(f"Epoch {epoch:5d}: reducing learning rate to {new_lr:.4e}.")
+            self.num_bad_epochs = 0
+
+
+class LambdaCallback(Callback):
+    def __init__(
+        self,
+        on_epoch_begin=None,
+        on_epoch_end=None,
+        on_batch_begin=None,
+        on_batch_end=None,
+        on_train_begin=None,
+        on_train_end=None,
+    ):
+        self.on_epoch_begin = on_epoch_begin or (lambda epoch, logs: None)
+        self.on_epoch_end = on_epoch_end or (lambda epoch, logs: None)
+        self.on_batch_begin = on_batch_begin or (lambda batch, logs: None)
+        self.on_batch_end = on_batch_end or (lambda batch, logs: None)
+        self.on_train_begin = on_train_begin or (lambda logs: None)
+        self.on_train_end = on_train_end or (lambda logs: None)
+
+
+class ModelCheckpoint(Callback):
+    """Monitored checkpointing (reference: src/callbacks.py:386-452)."""
+
+    def __init__(self, filepath, monitor="val_loss", verbose=0, save_best_only=False, mode="auto", period=1):
+        self.monitor = monitor
+        self.verbose = verbose
+        self.filepath = filepath
+        self.save_best_only = save_best_only
+        self.period = period
+        self.epochs_since_last_save = 0
+
+        if mode not in ["auto", "min", "max"]:
+            mode = "auto"
+        if mode == "min":
+            self.monitor_op = np.less
+            self.best = np.inf
+        elif mode == "max":
+            self.monitor_op = np.greater
+            self.best = -np.inf
+        else:
+            if "acc" in self.monitor or self.monitor.startswith("fmeasure"):
+                self.monitor_op = np.greater
+                self.best = -np.inf
+            else:
+                self.monitor_op = np.less
+                self.best = np.inf
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs or {}
+        self.epochs_since_last_save += 1
+        if self.epochs_since_last_save < self.period:
+            return
+        self.epochs_since_last_save = 0
+        if self.save_best_only:
+            current = logs.get(self.monitor)
+            if current is None:
+                logging.warning("Can save best model only with %s available, skipping.", self.monitor)
+                return
+            if self.monitor_op(current, self.best):
+                if self.verbose > 0:
+                    print(
+                        "Epoch %05d: %s improved from %0.5f to %0.5f, saving model to %s"
+                        % (epoch, self.monitor, self.best, current, self.filepath)
+                    )
+                self.best = current
+                self.model_pytoune.save_weights(self.filepath)
+            elif self.verbose > 0:
+                print("Epoch %05d: %s did not improve" % (epoch, self.monitor))
+        else:
+            if self.verbose > 0:
+                print("Epoch %05d: saving model to %s" % (epoch, self.filepath))
+            self.model_pytoune.save_weights(self.filepath)
+
+
+@cfg.configurable
+class ProgressionCallback(Callback):
+    """Carriage-return progress lines with ETA (reference:
+    src/callbacks.py:455-517), throttled so rendering never forces a device
+    sync more than a few times per second."""
+
+    def __init__(self, other_metrics=("acc_modal_0", "acc_modal_1"), min_render_interval=0.25):
+        self.other_metrics = list(other_metrics)
+        self.min_render_interval = min_render_interval
+        self._last_render = 0.0
+
+    def on_train_begin(self, logs):
+        self.metrics = ["loss"] + self.model_pytoune.metrics_names
+        self.epochs = self.params["epochs"]
+        self.steps = self.params["steps"]
+
+    def on_epoch_begin(self, epoch, logs):
+        self.step_times_sum = 0.0
+        self.epoch = epoch
+        sys.stdout.write("\rEpoch %d/%d" % (self.epoch, self.epochs))
+        sys.stdout.flush()
+
+    def on_epoch_end(self, epoch, logs):
+        epoch_total_time = logs.get("time", 0.0)
+        metrics_str = self._get_metrics_string(logs)
+        other_str = self._get_other_string(logs)
+        print(
+            "\rEpoch %d/%d %.2fs: Step %d/%d: %s. %s"
+            % (self.epoch, self.epochs, epoch_total_time, self.steps or 0, self.steps or 0, metrics_str, other_str)
+        )
+
+    def on_batch_end(self, batch, logs):
+        self.step_times_sum += timeit.default_timer() - logs.get("batch_begin_time", timeit.default_timer())
+        now = timeit.default_timer()
+        if self.steps is not None and batch < self.steps and now - self._last_render < self.min_render_interval:
+            return
+        self._last_render = now
+        metrics_str = self._get_metrics_string(logs)
+        other_str = self._get_other_string(logs)
+        times_mean = self.step_times_sum / max(batch, 1)
+        if self.steps is not None:
+            remaining_time = times_mean * (self.steps - batch)
+            sys.stdout.write(
+                "\rEpoch %d/%d ETA %.2fs Step %d/%d: %s. %s"
+                % (self.epoch, self.epochs, remaining_time, batch, self.steps, metrics_str, other_str)
+            )
+        else:
+            sys.stdout.write(
+                "\rEpoch %d/%d %.2fs/step Step %d: %s. %s"
+                % (self.epoch, self.epochs, times_mean, batch, metrics_str, other_str)
+            )
+            self.last_step = batch
+        sys.stdout.flush()
+
+    def _fmt(self, logs, keys, prefix=""):
+        out = []
+        for k in keys:
+            v = logs.get(prefix + k if prefix else k)
+            if v is not None:
+                out.append("{}: {:f}".format(prefix + k if prefix else k, float(v)))
+        return out
+
+    def _get_metrics_string(self, logs):
+        train = self._fmt(logs, self.metrics)
+        val = self._fmt(logs, ["val_" + k for k in self.metrics])
+        return ", ".join(itertools.chain(train, val))
+
+    def _get_other_string(self, logs):
+        return ", ".join(self._fmt(logs, self.other_metrics))
+
+
+class ValidationProgressionCallback(Callback):
+    """Per-phase eval progress lines (reference: src/callbacks.py:519-557)."""
+
+    def __init__(self, phase, metrics_names, steps=None, min_render_interval=0.25):
+        self.params = {"steps": steps, "phase": phase}
+        self.metrics = metrics_names
+        self.min_render_interval = min_render_interval
+        self._last_render = 0.0
+
+    def _get_metrics_string(self, logs):
+        parts = []
+        for k in self.metrics:
+            v = logs.get(k)
+            if v is not None:
+                parts.append("{}: {:f}".format(self.params["phase"] + "_" + k, float(v)))
+        return ", ".join(parts)
+
+    def on_batch_begin(self, batch, logs):
+        if batch == 1:
+            self.step_times_sum = 0.0
+        self.steps = self.params["steps"]
+
+    def on_batch_end(self, batch, logs):
+        self.step_times_sum += timeit.default_timer() - logs.get("batch_begin_time", timeit.default_timer())
+        now = timeit.default_timer()
+        if self.steps is not None and batch < self.steps and now - self._last_render < self.min_render_interval:
+            return
+        self._last_render = now
+        metrics_str = self._get_metrics_string(logs)
+        times_mean = self.step_times_sum / max(batch, 1)
+        if self.steps is not None:
+            remaining_time = times_mean * (self.steps - batch)
+            sys.stdout.write(
+                "\r%s ETA %.2fs Step %d/%d: %s." % (self.params["phase"], remaining_time, batch, self.steps, metrics_str)
+            )
+        else:
+            sys.stdout.write("\r%s %.2fs/step Step %d: %s." % (self.params["phase"], times_mean, batch, metrics_str))
+        sys.stdout.flush()

@@ -1,0 +1,159 @@
+"""Checkpoint save/load.
+
+The reference saves ``{'model': state_dict, 'optimizer': state_dict}`` via
+torch.save (reference: src/utils.py:107-115) to ``model_best_val.pt`` /
+``model_last_epoch.pt`` (reference: src/training_loop.py:39-48).  This module
+writes the same artifact names in a torch-loadable format (state_dict with
+torch-layout tensors via the reverse converter), so reference tooling can
+consume rebuild checkpoints, plus a JAX-native sidecar
+(``<file>.jax.pkl``) carrying everything torch has no slot for: MMTM
+running-average buffers (plain attributes in the reference, never saved),
+optimizer/controller/RNG state — enabling *exact* resume, which the
+reference lacks (SURVEY §5: crash-resume material but no resume logic).
+
+Loading honors the reference's non-strict merge semantics
+(dict.update + load_state_dict(strict=False), reference:
+src/training_loop.py:78-83).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from ..utils.pytree import tree_to_numpy
+from ..utils.torch_compat import merge_loaded_params, state_dict_to_pytrees
+
+logger = logging.getLogger(__name__)
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+def pytrees_to_state_dict(params, batch_stats):
+    """Inverse of torch_compat.state_dict_to_pytrees: flax pytrees ->
+    torch-style state_dict with OIHW convs / (out,in) linears."""
+    out = {}
+    for path, leaf in _flatten(tree_to_numpy(params)):
+        arr = np.asarray(leaf)
+        parts, leafname = list(path[:-1]), path[-1]
+        tparts = _torchify_path(parts)
+        if leafname == "kernel":
+            if arr.ndim == 4:
+                out[".".join(tparts + ["weight"])] = np.transpose(arr, (3, 2, 0, 1))
+            else:
+                out[".".join(tparts + ["weight"])] = np.transpose(arr, (1, 0))
+        elif leafname == "scale":
+            out[".".join(tparts + ["weight"])] = arr
+        else:
+            out[".".join(tparts + [leafname])] = arr
+    for path, leaf in _flatten(tree_to_numpy(batch_stats)):
+        parts, leafname = list(path[:-1]), path[-1]
+        tparts = _torchify_path(parts)
+        name = "running_mean" if leafname == "mean" else "running_var"
+        out[".".join(tparts + [name])] = np.asarray(leaf)
+    return out
+
+
+def _torchify_path(parts):
+    import re
+
+    tparts = []
+    for p in parts:
+        m = re.fullmatch(r"layer(\d)_(\d)", p)
+        if m:
+            tparts.extend([f"layer{m.group(1)}", m.group(2)])
+        elif p == "downsample_conv":
+            tparts.extend(["downsample", "0"])
+        elif p == "downsample_bn":
+            tparts.extend(["downsample", "1"])
+        else:
+            tparts.append(p)
+    return tparts
+
+
+def save_weights(state, filepath):
+    """Write torch-format model checkpoint + JAX sidecar for exact resume."""
+    state_dict = pytrees_to_state_dict(state.params, state.batch_stats)
+    payload = {"model": state_dict, "optimizer": {}}
+    try:
+        import torch
+
+        payload["model"] = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in state_dict.items()}
+        torch.save(payload, filepath)
+    except ImportError:  # torch-free host: plain pickle with numpy arrays
+        with open(filepath, "wb") as f:
+            pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+
+    sidecar = {
+        "params": tree_to_numpy(state.params),
+        "batch_stats": tree_to_numpy(state.batch_stats),
+        "mmtm": tree_to_numpy(state.mmtm),
+        "controller": tree_to_numpy(
+            {
+                "M_main": state.controller.M_main,
+                "M_bypass": state.controller.M_bypass,
+                "curation_mode": state.controller.curation_mode,
+                "caring_modality": state.controller.caring_modality,
+                "curation_step": state.controller.curation_step,
+                "d_BDR": state.controller.d_BDR,
+                "rng": state.controller.rng,
+            }
+        ),
+        "step": np.asarray(state.step),
+        "rng": np.asarray(state.rng),
+        "opt_hyperparams": tree_to_numpy(dict(state.opt_state.hyperparams)) if hasattr(state.opt_state, "hyperparams") else {},
+    }
+    with open(filepath + ".jax.pkl", "wb") as f:
+        pickle.dump(sidecar, f, pickle.HIGHEST_PROTOCOL)
+
+
+def load_pretrained(filepath):
+    """Read a checkpoint into (params, batch_stats, extras|None).
+
+    Accepts rebuild checkpoints (sidecar preferred) and original reference
+    ``.pt`` files (torch state_dict, converted)."""
+    sidecar_path = filepath + ".jax.pkl"
+    if os.path.exists(sidecar_path):
+        with open(sidecar_path, "rb") as f:
+            sc = pickle.load(f)
+        return sc["params"], sc["batch_stats"], sc
+
+    try:
+        import torch
+
+        ckpt = torch.load(filepath, map_location="cpu", weights_only=False)
+    except Exception:
+        with open(filepath, "rb") as f:
+            ckpt = pickle.load(f)
+    state = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    params, batch_stats = state_dict_to_pytrees(state)
+    return params, batch_stats, None
+
+
+def load_into_state(state, filepath):
+    """Non-strict merge of a checkpoint into a fresh TrainState
+    (reference semantics: src/training_loop.py:78-83)."""
+    params, batch_stats, extras = load_pretrained(filepath)
+    target_p = tree_to_numpy(state.params)
+    target_b = tree_to_numpy(state.batch_stats)
+    merged_p = merge_loaded_params(target_p, params)
+    merged_b = merge_loaded_params(target_b, batch_stats)
+    new_state = state.replace(
+        params=jax.tree_util.tree_map(np.asarray, merged_p),
+        batch_stats=jax.tree_util.tree_map(np.asarray, merged_b),
+    )
+    if extras is not None and extras.get("mmtm"):
+        merged_m = merge_loaded_params(tree_to_numpy(state.mmtm), extras["mmtm"])
+        new_state = new_state.replace(mmtm=jax.tree_util.tree_map(np.asarray, merged_m))
+    logger.info("Done reloading!")
+    return new_state

@@ -1,0 +1,164 @@
+"""Device-resident balancing controllers.
+
+The reference's controllers are host callbacks that flip
+``curation_mode``/``caring_modality`` between backward() and
+optimizer.step() (reference: src/callbacks.py:174-302).  Here the whole
+decision is a pure function of (previous controller state, this step's BDR
+statistics) evaluated *inside* the jitted train step, so the step graph is
+static and nothing blocks on the host (SURVEY §7 hard part 1).
+
+Semantics mirrored exactly (reference: src/callbacks.py:240-267):
+
+* accumulators ``M_*`` are never reset after train begin and only advance
+  when the controller is *not* in curation mode (or is still locked),
+* ``d_BDR = log10(M_bypass_0/M_main_0) − log10(M_bypass_1/M_main_1)``;
+  while curating, d_BDR keeps its previous value,
+* unlocked at ``epoch >= starting_epoch``; when |d_BDR| > ε curation starts
+  for ``curation_windowsize`` steps caring for modality 0 if d_BDR>0 else 1,
+* the *decision made at step t applies to the forward of step t+1* — the
+  state consumed by the forward pass is the state produced by the previous
+  step's update.
+
+N-modality generalization (the reference hardcodes 2): per-modality
+``BDR_i = log10(M_bypass_i / M_main_i)``, deviation ``d_i = BDR_i −
+mean_{j≠i} BDR_j``; curate ``argmax d_i`` when ``max d_i > ε``.  For N=2,
+``d_0 = BDR_0 − BDR_1`` — identical to the reference.
+
+The random ablation controller draws uniformly from {off, curate modality
+1, curate modality 0} per step (reference: src/callbacks.py:283-294) using
+a carried PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class ControllerState:
+    M_main: jnp.ndarray  # (N,) accumulated Σ‖g‖²/Σ‖w‖² per modality main branch
+    M_bypass: jnp.ndarray  # (N,)
+    curation_mode: jnp.ndarray  # () bool
+    caring_modality: jnp.ndarray  # () int32
+    curation_step: jnp.ndarray  # () int32
+    d_BDR: jnp.ndarray  # () float32
+    rng: jnp.ndarray  # PRNG key (random controller)
+
+
+def init_controller_state(num_modalities: int = 2, seed: int = 0) -> ControllerState:
+    return ControllerState(
+        M_main=jnp.zeros((num_modalities,), jnp.float32),
+        M_bypass=jnp.zeros((num_modalities,), jnp.float32),
+        curation_mode=jnp.asarray(False),
+        caring_modality=jnp.asarray(0, jnp.int32),
+        curation_step=jnp.asarray(0, jnp.int32),
+        d_BDR=jnp.asarray(0.0, jnp.float32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def guided_update(
+    state: ControllerState,
+    gn: jnp.ndarray,  # (2N,) [main.., bypass..] Σ‖g‖² this step
+    wn: jnp.ndarray,  # (2N,)
+    unlock,  # () bool — epoch >= starting_epoch
+    *,
+    epsilon: float,
+    curation_windowsize: int,
+) -> ControllerState:
+    n = state.M_main.shape[0]
+    ratios_main = gn[:n] / wn[:n]
+    ratios_bypass = gn[n:] / wn[n:]
+
+    # M advances when not curating OR still locked (reference :240-267).
+    advance = jnp.logical_or(jnp.logical_not(state.curation_mode), jnp.logical_not(unlock))
+    M_main = jnp.where(advance, state.M_main + ratios_main, state.M_main)
+    M_bypass = jnp.where(advance, state.M_bypass + ratios_bypass, state.M_bypass)
+
+    bdr = jnp.log10(M_bypass / M_main)  # (N,)
+    if n == 2:
+        d_all = jnp.stack([bdr[0] - bdr[1], bdr[1] - bdr[0]])
+    else:
+        mean_others = (jnp.sum(bdr) - bdr) / (n - 1)
+        d_all = bdr - mean_others
+    d_bdr_scalar = d_all[0] if n == 2 else jnp.max(d_all)
+    new_d = jnp.where(advance, d_bdr_scalar, state.d_BDR)
+
+    over = jnp.max(d_all) > epsilon if n > 2 else jnp.abs(d_all[0]) > epsilon
+    candidate = jnp.argmax(d_all).astype(jnp.int32)
+
+    # Branch A: unlocked & not curating — maybe enter curation.
+    enter = jnp.logical_and(unlock, jnp.logical_and(jnp.logical_not(state.curation_mode), over))
+    # Branch B: unlocked & curating — count down the window.
+    counting = jnp.logical_and(unlock, state.curation_mode)
+    next_count = state.curation_step + 1
+    window_done = next_count == curation_windowsize
+
+    curation_mode = jnp.where(
+        unlock,
+        jnp.where(state.curation_mode, jnp.logical_not(window_done), over),
+        jnp.asarray(False),
+    )
+    caring = jnp.where(
+        enter,
+        candidate,
+        jnp.where(counting, state.caring_modality, jnp.asarray(0, jnp.int32)),
+    )
+    curation_step = jnp.where(enter, 0, jnp.where(counting, next_count, state.curation_step))
+
+    return ControllerState(
+        M_main=M_main,
+        M_bypass=M_bypass,
+        curation_mode=curation_mode,
+        caring_modality=caring,
+        curation_step=curation_step,
+        d_BDR=new_d,
+        rng=state.rng,
+    )
+
+
+def random_update(
+    state: ControllerState,
+    gn: jnp.ndarray,
+    wn: jnp.ndarray,
+    unlock,
+    *,
+    num_modalities: int = 2,
+) -> ControllerState:
+    """Random ablation: uniform over {off} ∪ {curate modality i}
+    (reference: src/callbacks.py:283-294; the reference's 3-way draw maps
+    mode 1 -> caring 1, mode 2 -> caring 0)."""
+    rng, sub = jax.random.split(state.rng)
+    mode = jax.random.randint(sub, (), 0, num_modalities + 1)
+    curation = jnp.logical_and(unlock, mode != 0)
+    if num_modalities == 2:
+        caring = jnp.where(mode == 1, 1, 0).astype(jnp.int32)
+    else:
+        caring = (mode - 1).clip(0).astype(jnp.int32)
+    caring = jnp.where(curation, caring, jnp.asarray(0, jnp.int32))
+    return ControllerState(
+        M_main=state.M_main,
+        M_bypass=state.M_bypass,
+        curation_mode=curation,
+        caring_modality=caring,
+        curation_step=state.curation_step,
+        d_BDR=state.d_BDR,
+        rng=rng,
+    )
+
+
+def null_update(state: ControllerState, gn, wn, unlock) -> ControllerState:
+    """No controller configured: curation permanently off."""
+    return ControllerState(
+        M_main=state.M_main,
+        M_bypass=state.M_bypass,
+        curation_mode=jnp.asarray(False),
+        caring_modality=jnp.asarray(0, jnp.int32),
+        curation_step=state.curation_step,
+        d_BDR=state.d_BDR,
+        rng=state.rng,
+    )

@@ -1,0 +1,274 @@
+"""Trainer: the host-side engine around the jitted steps.
+
+Role-equivalent to the reference's poutyne-style ``Model_`` wrapper
+(reference: src/framework.py:125-345) — epoch loop with per-epoch train →
+val → test passes, size-weighted metric accumulation, callback hook fan-out,
+NaN-loss stop — but redesigned for an async device pipeline:
+
+* the step is one donated jit call; the host never reads a device value in
+  the hot loop (progress rendering is throttled and reads lazily),
+* per-step outputs are accumulated as device scalars and fetched in a
+  single ``jax.device_get`` at epoch end,
+* NaN detection happens on the epoch's collected losses — the reference
+  also only *breaks* after the epoch completes (it merely sets
+  ``stop_training`` mid-epoch, reference: src/framework.py:321-322),
+* curation flags live in the device-side controller state; callbacks flip
+  host-side latches (``unlock_controller``) that enter the step as traced
+  scalars.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import timeit
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt
+from .callbacks import CallbackList, ProgressionCallback, ValidationProgressionCallback
+from .controller import init_controller_state
+from .steps import build_eval_step, build_train_step, make_controller_update
+from .bdr import build_group_matrix
+from .train_state import get_learning_rate, set_learning_rate
+
+logger = logging.getLogger(__name__)
+
+
+def _cycle(iterable):
+    while True:
+        for x in iterable:
+            yield x
+
+
+def _get_step_iterator(steps, generator):
+    count_iterator = range(1, steps + 1) if steps is not None else itertools.count(1)
+    generator = _cycle(generator) if steps is not None else generator
+    return zip(count_iterator, generator)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        state,
+        *,
+        controller_kind: str = "none",
+        controller_config: Optional[dict] = None,
+        metrics_names: List[str] = ("acc",),
+        nummodalities: int = 2,
+        verbose: bool = True,
+        average_squeezemaps=None,
+        mmtm_off: bool = False,
+        jit: bool = True,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.state = state
+        self.metrics_names = list(metrics_names)
+        self.nummodalities = nummodalities
+        self.verbose = verbose
+        self.stop_training = False
+        self.controller_kind = controller_kind
+        self.controller_config = controller_config or {}
+        self._unlock = False
+        self.average_squeezemaps = average_squeezemaps
+        self.mmtm_off = mmtm_off
+
+        branchnames = self.controller_config.get(
+            "branchnames", [f"net_view_{i}" for i in range(nummodalities)]
+        )
+        mmtm_names = self.controller_config.get("mmtm_names", None)
+        if not mmtm_names:
+            mmtm_names = list(getattr(model, "modality_names", [f"modal_{i}" for i in range(nummodalities)]))
+        group_matrix = build_group_matrix(state.params, branchnames, mmtm_names)
+        ctrl_update = make_controller_update(controller_kind, nummodalities, **{
+            k: v for k, v in self.controller_config.items() if k in ("epsilon", "curation_windowsize")
+        })
+        self._train_step = build_train_step(model, optimizer, group_matrix, ctrl_update, jit=jit) if optimizer is not None else None
+        self._eval_step = build_eval_step(model, mmtm_off=mmtm_off, jit=jit)
+
+    # --- handles used by callbacks (mirroring model_pytoune attributes) ---
+
+    def reset_controller(self):
+        n = self.state.controller.M_main.shape[0]
+        self.state = self.state.replace(controller=init_controller_state(n))
+        self._unlock = False
+
+    def unlock_controller(self):
+        self._unlock = True
+
+    def get_lr(self):
+        return get_learning_rate(self.state)
+
+    def set_lr(self, lr):
+        self.state = set_learning_rate(self.state, lr)
+
+    def save_weights(self, filepath):
+        ckpt.save_weights(self.state, filepath)
+
+    def load_weights(self, filepath):
+        self.state = ckpt.load_into_state(self.state, filepath)
+
+    # --- epoch loops ---
+
+    def _train_epoch(self, generator, steps_per_epoch, callback_list):
+        records = []
+        unlock = jnp.asarray(self._unlock)
+        for batch_ind, batch in _get_step_iterator(steps_per_epoch, generator):
+            batch_begin_time = timeit.default_timer()
+            callback_list.on_batch_begin(batch_ind, {})
+            callback_list.on_forward_begin(batch_ind, batch)
+            size = batch.pop("size")
+            self.state, out = self._train_step(self.state, batch, unlock)
+            callback_list.on_backward_end(batch_ind)
+            records.append(
+                {"out": out, "size": size, "indices": batch["indices"][:size], "t0": batch_begin_time}
+            )
+            batch_logs = {
+                "batch": batch_ind,
+                "size": size,
+                "time": timeit.default_timer() - batch_begin_time,
+                "batch_begin_time": batch_begin_time,
+                "loss": out["loss"],
+                "acc": out["acc"],
+                "d_BDR": out["d_BDR"],
+                "curation_mode": out["curation_mode"],
+                "caring_modality": out["caring_modality"],
+            }
+            for i in range(self.nummodalities):
+                batch_logs[f"acc_modal_{i}"] = out["acc_modal"][i]
+            callback_list.on_batch_end(batch_ind, batch_logs)
+
+        # One synchronization point for the whole epoch.
+        outs = jax.device_get([r["out"] for r in records])
+        sizes = np.array([r["size"] for r in records], np.float64)
+        losses = np.array([o["loss"] for o in outs], np.float64)
+        total = sizes.sum()
+        train_dict = {
+            "loss": float((losses * sizes).sum() / total),
+            "train_indices": np.concatenate([r["indices"] for r in records]) if records else [],
+            "acc": float((np.array([o["acc"] for o in outs]) * sizes).sum() / total),
+        }
+        for i in range(self.nummodalities):
+            vals = np.array([o["acc_modal"][i] for o in outs])
+            train_dict[f"acc_modal_{i}"] = float((vals * sizes).sum() / total)
+        if np.isnan(losses).any():
+            self.stop_training = True
+        return train_dict
+
+    def _eval_generator(self, generator, phase, *, steps=None):
+        if steps is None:
+            steps = len(generator)
+        progress = ValidationProgressionCallback(
+            phase=phase, steps=steps, metrics_names=["loss"] + self.metrics_names
+        )
+        progress.set_model_pytoune(self)
+        records = []
+        avg_maps = self.average_squeezemaps
+        for batch_ind, batch in _get_step_iterator(steps, generator):
+            batch_begin_time = timeit.default_timer()
+            progress.on_batch_begin(batch_ind, {})
+            size = batch.pop("size")
+            new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
+            self.state = self.state.replace(mmtm=new_mmtm)
+            records.append({"out": out, "size": size, "indices": batch["indices"][:size]})
+            progress.on_batch_end(
+                batch_ind,
+                {
+                    "batch": batch_ind,
+                    "size": size,
+                    "batch_begin_time": batch_begin_time,
+                    "loss": out["loss"],
+                    "acc": out["acc"],
+                },
+            )
+
+        outs = jax.device_get([r["out"] for r in records])
+        sizes = np.array([r["size"] for r in records], np.float64)
+        total = max(sizes.sum(), 1.0)
+        losses = np.array([o["loss"] for o in outs], np.float64)
+
+        info = {
+            f"{phase}_loss": float((losses * sizes).sum() / total),
+            f"{phase}_indices": np.concatenate([r["indices"] for r in records]) if records else [],
+            f"{phase}_acc": float((np.array([o["acc"] for o in outs]) * sizes).sum() / total),
+        }
+        for i in range(self.nummodalities):
+            vals = np.array([o["acc_modal"][i] for o in outs])
+            info[f"{phase}_acc_modal_{i}"] = float((vals * sizes).sum() / total)
+
+        # Recording extras: trim padded rows, preserve the reference's
+        # epoch->batch->mmtm->view nesting (src/framework.py:109-114 +
+        # src/balanced_mmtm.py:157-176).
+        for key in ("mmtmscales_list", "squeezedmaps_array_list"):
+            if records and key in outs[0]:
+                per_batch = []
+                for rec, o in zip(records, outs):
+                    sz = int(rec["size"])
+                    per_batch.append([[np.asarray(v)[:sz] for v in mmtm] for mmtm in o[key]])
+                info[f"{phase}_{key}"] = per_batch
+        return info
+
+    def train_loop(
+        self,
+        train_generator,
+        test_generator=None,
+        valid_generator=None,
+        *,
+        epochs=1000,
+        steps_per_epoch=None,
+        validation_steps=None,
+        test_steps=None,
+        callbacks=(),
+    ):
+        callback_list = CallbackList(list(callbacks))
+        callback_list.append(ProgressionCallback())
+        callback_list.set_model_pytoune(self)
+        callback_list.set_params({"epochs": epochs, "steps": steps_per_epoch})
+
+        self.stop_training = False
+        callback_list.on_train_begin({})
+
+        for epoch in range(1, epochs + 1):
+            callback_list.on_epoch_begin(epoch, {})
+            epoch_begin_time = timeit.default_timer()
+
+            train_dict = self._train_epoch(train_generator, steps_per_epoch, callback_list)
+            val_dict = self._eval_generator(valid_generator, "val", steps=validation_steps)
+            test_dict = self._eval_generator(test_generator, "test", steps=test_steps)
+
+            epoch_log = {
+                "epoch": epoch,
+                "time": timeit.default_timer() - epoch_begin_time,
+                "epoch_begin_time": epoch_begin_time,
+                **train_dict,
+                **val_dict,
+                **test_dict,
+            }
+            callback_list.on_epoch_end(epoch, epoch_log)
+            if self.stop_training:
+                break
+
+        callback_list.on_train_end({})
+
+    def eval_loop(self, test_generator, *, test_steps=None, epochs=1, callbacks=()):
+        """One-or-more eval passes (reference: src/framework.py:252-268;
+        note epochs=0 still runs one pass via ``while epoch <= epochs``)."""
+        callback_list = CallbackList(list(callbacks))
+        callback_list.set_model_pytoune(self)
+        callback_list.on_train_begin({})
+        epoch = 0
+        while epoch <= epochs:
+            epoch_begin_time = timeit.default_timer()
+            callback_list.on_epoch_begin(epoch, {})
+            test_dict = self._eval_generator(test_generator, "test", steps=test_steps)
+            test_dict["epoch"] = epoch
+            test_dict["time"] = timeit.default_timer() - epoch_begin_time
+            test_dict["epoch_begin_time"] = epoch_begin_time
+            callback_list.on_epoch_end(epoch, test_dict)
+            epoch += 1

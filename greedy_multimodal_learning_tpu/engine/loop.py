@@ -1,0 +1,207 @@
+"""Orchestration loops: wiring configs, callbacks, history and checkpoints.
+
+Mirrors the reference's training_loop / evalution_loop gin surfaces and
+artifact layout (reference: src/training_loop.py:86-212):
+
+* history.csv / history.pickle in the save dir; stale files removed at
+  start (proper fs ops replacing the reference's ``os.system("rm …")``,
+  quirk #8),
+* default callbacks: history append + save, best-val checkpoint
+  (``model_best_val.pt``, monitor val_acc max), last-epoch checkpoint every
+  epoch (reference: src/training_loop.py:26-50),
+* the reference accidentally passes its callback list as the
+  ``save_with_structure`` positional, so any custom callback enables the
+  structured pickle (quirk #2) — which the analysis pipeline *requires*
+  (train_indices, reference: src/balanced_mmtm.py:189-192).  Reproduced
+  deliberately: training runs with custom callbacks write history.pickle,
+* ``n_epochs - 1`` executed epochs (quirk #3, reference:
+  src/training_loop.py:141),
+* eval history under ``save_path/eval_history_batch/`` (reference:
+  src/training_loop.py:145-157).
+
+``use_gpu`` / ``device_numbers`` are accepted for gin-file compatibility and
+ignored: device placement is JAX/XLA's job here.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+from .. import config as cfg
+from .callbacks import LambdaCallback, ModelCheckpoint
+from .framework import Trainer
+from .history import append_to_history, save_history
+
+logger = logging.getLogger(__name__)
+
+
+def _remove_stale(paths):
+    for p in paths:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
+
+def _construct_default_callbacks(H, save_path, checkpoint_monitor, save_with_structure=False):
+    callbacks = [
+        LambdaCallback(on_epoch_end=partial(append_to_history, H=H)),
+        LambdaCallback(
+            on_epoch_end=partial(save_history, save_path=save_path, H=H, save_with_structure=save_with_structure)
+        ),
+        ModelCheckpoint(
+            monitor=checkpoint_monitor,
+            save_best_only=True,
+            mode="max",
+            filepath=os.path.join(save_path, "model_best_val.pt"),
+        ),
+    ]
+
+    def save_weights_fnc(epoch, logs):
+        logger.info("Saving model from epoch %s", epoch)
+
+    callbacks.append(LambdaCallback(on_epoch_end=save_weights_fnc))
+    return callbacks
+
+
+def _detect_controller(custom_callbacks):
+    for clbk in custom_callbacks:
+        kind = getattr(clbk, "controller_kind", "none")
+        if kind != "none":
+            return kind, clbk.controller_config()
+    return "none", {}
+
+
+@cfg.configurable
+def training_loop(
+    model,
+    optimizer,
+    state,
+    config,
+    save_path,
+    steps_per_epoch,
+    train=None,
+    valid=None,
+    test=None,
+    test_steps=None,
+    validation_steps=None,
+    use_gpu=False,
+    device_numbers=(0,),
+    custom_callbacks=(),
+    checkpoint_monitor="val_acc",
+    n_epochs=100,
+    verbose=True,
+    nummodalities=2,
+):
+    callbacks = list(custom_callbacks)
+
+    history_csv_path = os.path.join(save_path, "history.csv")
+    history_pkl_path = os.path.join(save_path, "history.pkl")
+    logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
+    _remove_stale([history_pkl_path, history_csv_path])
+
+    H = {}
+    # quirk #2 reproduced: structured pickle iff custom callbacks present.
+    callbacks += _construct_default_callbacks(
+        H, save_path, checkpoint_monitor, save_with_structure=bool(custom_callbacks)
+    )
+
+    kind, ctrl_cfg = _detect_controller(custom_callbacks)
+    trainer = Trainer(
+        model=model,
+        optimizer=optimizer,
+        state=state,
+        controller_kind=kind,
+        controller_config=ctrl_cfg,
+        metrics_names=["acc"],
+        nummodalities=nummodalities,
+        verbose=verbose,
+    )
+
+    for clbk in callbacks:
+        clbk.set_save_path(save_path)
+        clbk.set_model(trainer, ignore=False)
+        clbk.set_optimizer(optimizer)
+        clbk.set_config(config)
+        clbk.set_model_pytoune(trainer)
+
+    # last-epoch checkpoint every epoch (reference: src/training_loop.py:44-48)
+    callbacks.append(
+        LambdaCallback(
+            on_epoch_end=lambda epoch, logs: trainer.save_weights(os.path.join(save_path, "model_last_epoch.pt"))
+        )
+    )
+
+    trainer.train_loop(
+        train,
+        valid_generator=valid,
+        test_generator=test,
+        test_steps=test_steps,
+        validation_steps=validation_steps,
+        steps_per_epoch=steps_per_epoch,
+        epochs=n_epochs - 1,  # quirk #3 (reference: src/training_loop.py:141)
+        callbacks=callbacks,
+    )
+    return trainer
+
+
+def _construct_default_eval_callbacks(H, save_path, save_with_structure):
+    history_batch = os.path.join(save_path, "eval_history_batch")
+    os.makedirs(history_batch, exist_ok=True)
+    return [
+        LambdaCallback(on_epoch_end=partial(append_to_history, H=H)),
+        LambdaCallback(
+            on_epoch_end=partial(
+                save_history, save_path=history_batch, H=H, save_with_structure=save_with_structure
+            )
+        ),
+    ]
+
+
+@cfg.configurable
+def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9)
+    model,
+    state,
+    config,
+    save_path,
+    test=None,
+    test_steps=None,
+    use_gpu=False,
+    device_numbers=(0,),
+    custom_callbacks=(),
+    pretrained_weights_path=None,
+    save_with_structure=False,
+    nummodalities=2,
+    average_squeezemaps=None,
+    mmtm_off=False,
+):
+    trainer = Trainer(
+        model=model,
+        optimizer=None,
+        state=state,
+        metrics_names=["acc"],
+        nummodalities=nummodalities,
+        average_squeezemaps=average_squeezemaps,
+        mmtm_off=mmtm_off,
+    )
+    trainer.load_weights(pretrained_weights_path)
+
+    history_csv_path = os.path.join(save_path, "eval_history.csv")
+    history_pkl_path = os.path.join(save_path, "eval_history.pkl")
+    logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
+    _remove_stale([history_pkl_path, history_csv_path])
+
+    H = {}
+    callbacks = list(custom_callbacks)
+    callbacks += _construct_default_eval_callbacks(H, save_path, save_with_structure)
+
+    for clbk in callbacks:
+        clbk.set_save_path(save_path)
+        clbk.set_model(trainer, ignore=False)
+        clbk.set_config(config)
+        clbk.set_model_pytoune(trainer)
+
+    trainer.eval_loop(test, epochs=0, test_steps=test_steps, callbacks=callbacks)
+    return trainer

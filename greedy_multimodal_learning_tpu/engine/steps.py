@@ -1,0 +1,163 @@
+"""Jitted train / eval steps — the big re-architecture point.
+
+The reference's hot loop is host-driven: H2D per batch, backward, a host
+callback that walks all parameters (~120 `.item()` syncs), optimizer step
+(reference: src/framework.py:306-322 + src/callbacks.py:199-233).  Here one
+jitted, donated step consumes a uint8 host batch and performs on device:
+
+  preprocess (normalize + per-(sample,view) random flip)
+  → N-tower forward with MMTM fusion (curation flags are traced scalars
+    carried in the controller state decided by the *previous* step,
+    mirroring the reference's decide-after-backward/apply-next-forward
+    timing, src/framework.py:313-315)
+  → blend loss + masked metrics
+  → backward
+  → masked group reductions for BDR statistics (engine/bdr.py)
+  → SGD update
+  → controller state transition (engine/controller.py)
+
+Only a handful of scalars ever leave the device, and the host never blocks
+the pipeline (the loop reads step outputs lazily).
+
+Eval steps mirror the reference's eval semantics: BN uses running stats and
+does not update; MMTM running averages *do* update (quirk #6, reference:
+src/balanced_mmtm.py:113-116); the curation flags left by training apply
+(the reference threads the live ``model_pytoune.curation_mode`` into eval
+forwards, src/framework.py:146-148,232-237).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.transforms import preprocess
+from .bdr import group_sq_norms
+from .controller import guided_update, null_update, random_update
+from .metrics import blend_and_per_view_acc, blend_loss
+
+
+def make_controller_update(kind: str, num_modalities: int, **kwargs) -> Callable:
+    if kind == "guided":
+        return functools.partial(
+            guided_update,
+            epsilon=kwargs["epsilon"],
+            curation_windowsize=kwargs["curation_windowsize"],
+        )
+    if kind == "random":
+        return functools.partial(random_update, num_modalities=num_modalities)
+    return null_update
+
+
+def build_train_step(
+    model,
+    optimizer,
+    group_matrix,
+    controller_update: Callable,
+    *,
+    donate: bool = True,
+    jit: bool = True,
+):
+    """Returns step(state, batch, unlock) -> (state, out_scalars)."""
+    gm = jnp.asarray(group_matrix)
+
+    def train_step(state, batch, unlock):
+        rng = jax.random.fold_in(state.rng, state.step)
+        x = preprocess(batch["images"], train=True, rng=rng, dtype=model.dtype)
+        mask = batch["mask"]
+        labels = batch["labels"]
+        ctrl_in = state.controller
+
+        def loss_fn(params):
+            (blend, logits, _, _), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+                x,
+                ctrl_in.curation_mode,
+                ctrl_in.caring_modality,
+                train=True,
+                valid_mask=mask,
+                mutable=["batch_stats", "mmtm"],
+            )
+            loss = blend_loss(logits, labels, mask)
+            return loss, (logits, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # BDR statistics: grads *before* the update, weights at backward time
+        # (reference: src/framework.py:313-315).
+        gn = group_sq_norms(grads, gm)
+        wn = group_sq_norms(state.params, gm)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ctrl = controller_update(ctrl_in, gn, wn, unlock)
+
+        blend_acc, per_view_acc = blend_and_per_view_acc(logits, labels, mask)
+        out = {
+            "loss": loss,
+            "acc": blend_acc,
+            "acc_modal": per_view_acc,
+            "d_BDR": ctrl.d_BDR,
+            "curation_mode": ctrl.curation_mode,
+            "caring_modality": ctrl.caring_modality,
+        }
+        new_state = state.replace(
+            params=params,
+            batch_stats=mut["batch_stats"],
+            mmtm=mut["mmtm"],
+            opt_state=opt_state,
+            controller=ctrl,
+            step=state.step + 1,
+        )
+        return new_state, out
+
+    if not jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(
+    model,
+    *,
+    mmtm_off: bool = False,
+    jit: bool = True,
+):
+    """Returns step(state, batch, average_squeezemaps) -> (new_mmtm, out).
+
+    ``out`` includes per-batch scales / squeeze maps when the model's
+    saving flags are set (recording mode, reference: configs/recording.gin).
+    """
+
+    def eval_step(state, batch, average_squeezemaps):
+        x = preprocess(batch["images"], train=False, dtype=model.dtype)
+        mask = batch["mask"]
+        labels = batch["labels"]
+        ctrl = state.controller
+        (blend, logits, scales, squeezes), mut = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+            x,
+            ctrl.curation_mode,
+            ctrl.caring_modality,
+            train=False,
+            valid_mask=mask,
+            mmtm_off=mmtm_off,
+            average_squeezemaps=average_squeezemaps,
+            mutable=["mmtm"],
+        )
+        loss = blend_loss(logits, labels, mask)
+        blend_acc, per_view_acc = blend_and_per_view_acc(logits, labels, mask)
+        out = {"loss": loss, "acc": blend_acc, "acc_modal": per_view_acc}
+        if model.saving_mmtm_scales:
+            out["mmtmscales_list"] = scales
+        if model.saving_mmtm_squeeze_array:
+            out["squeezedmaps_array_list"] = squeezes
+        return mut["mmtm"], out
+
+    if not jit:
+        return eval_step
+    return jax.jit(eval_step)

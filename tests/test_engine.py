@@ -1,0 +1,176 @@
+"""Engine tests: BDR grouping vs the reference's name-matching rules,
+device controller vs a host oracle transliterated from the reference
+semantics, and train-step behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from greedy_multimodal_learning_tpu.engine.bdr import build_group_matrix, group_sq_norms
+from greedy_multimodal_learning_tpu.engine.controller import (
+    guided_update,
+    init_controller_state,
+    random_update,
+)
+
+
+def test_group_matrix_rules():
+    """Mirror reference src/callbacks.py:203-223: mmtm params with modality
+    names -> that modality's bypass; shared mmtm params -> every bypass;
+    tower params -> main branch by branch name."""
+    params = {
+        "net_view_0": {"conv1": {"kernel": np.zeros(3)}},
+        "net_view_1": {"fc": {"bias": np.zeros(2)}},
+        "mmtm2": {
+            "fc_squeeze": {"kernel": np.zeros(4)},  # shared -> both bypasses
+            "fc_visual": {"kernel": np.zeros(4)},  # modality 0 bypass
+            "fc_skeleton": {"bias": np.zeros(4)},  # modality 1 bypass
+        },
+    }
+    mat = build_group_matrix(params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
+    # leaves in path-sorted order: mmtm2/fc_skeleton/bias, mmtm2/fc_squeeze/kernel,
+    # mmtm2/fc_visual/kernel, net_view_0/conv1/kernel, net_view_1/fc/bias
+    from greedy_multimodal_learning_tpu.utils.pytree import tree_paths
+
+    rows = {path: mat[i] for i, (path, _) in enumerate(tree_paths(params))}
+    np.testing.assert_array_equal(rows["net_view_0/conv1/kernel"], [1, 0, 0, 0])
+    np.testing.assert_array_equal(rows["net_view_1/fc/bias"], [0, 1, 0, 0])
+    np.testing.assert_array_equal(rows["mmtm2/fc_visual/kernel"], [0, 0, 1, 0])
+    np.testing.assert_array_equal(rows["mmtm2/fc_skeleton/bias"], [0, 0, 0, 1])
+    np.testing.assert_array_equal(rows["mmtm2/fc_squeeze/kernel"], [0, 0, 1, 1])
+
+
+def test_group_sq_norms():
+    params = {
+        "net_view_0": {"w": jnp.asarray([1.0, 2.0])},  # sq sum 5
+        "net_view_1": {"w": jnp.asarray([3.0])},  # 9
+        "mmtm2": {"fc_visual": {"w": jnp.asarray([2.0])}},  # 4 -> bypass 0
+    }
+    mat = build_group_matrix(params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
+    norms = np.asarray(group_sq_norms(params, jnp.asarray(mat)))
+    np.testing.assert_allclose(norms, [5.0, 9.0, 4.0, 0.0])
+
+
+class HostGuidedOracle:
+    """Direct transliteration of the reference's Bias_Mitigation_Strong
+    semantics (reference: src/callbacks.py:190-267) for cross-checking."""
+
+    def __init__(self, epsilon, windowsize):
+        self.eps = epsilon
+        self.window = windowsize
+        self.Mb = [0.0, 0.0]
+        self.Mm = [0.0, 0.0]
+        self.curation = False
+        self.caring = 0
+        self.cur_step = 0
+        self.d = 0.0
+
+    def compute(self, gnb, wnb, gnm, wnm):
+        self.Mb[0] += gnb[0] / wnb[0]
+        self.Mb[1] += gnb[1] / wnb[1]
+        self.Mm[0] += gnm[0] / wnm[0]
+        self.Mm[1] += gnm[1] / wnm[1]
+        return np.log10(self.Mb[0] / self.Mm[0]) - np.log10(self.Mb[1] / self.Mm[1])
+
+    def on_backward_end(self, gnb, wnb, gnm, wnm, unlock):
+        if unlock:
+            if not self.curation:
+                self.d = self.compute(gnb, wnb, gnm, wnm)
+                if abs(self.d) > self.eps:
+                    self.curation = True
+                    self.cur_step = 0
+                    self.caring = 0 if self.d > 0 else 1
+                else:
+                    self.curation = False
+                    self.caring = 0
+            else:
+                self.cur_step += 1
+                if self.cur_step == self.window:
+                    self.curation = False
+        else:
+            self.d = self.compute(gnb, wnb, gnm, wnm)
+            self.curation = False
+            self.caring = 0
+
+
+def test_guided_controller_matches_host_oracle():
+    eps, window = 0.05, 3
+    rng = np.random.default_rng(0)
+    oracle = HostGuidedOracle(eps, window)
+    state = init_controller_state(2)
+
+    for step in range(60):
+        unlock = step >= 10
+        gnm = rng.uniform(0.1, 2.0, 2)
+        wnm = rng.uniform(0.5, 3.0, 2)
+        gnb = rng.uniform(0.1, 2.0, 2)
+        wnb = rng.uniform(0.5, 3.0, 2)
+        gn = jnp.asarray(np.concatenate([gnm, gnb]), jnp.float32)
+        wn = jnp.asarray(np.concatenate([wnm, wnb]), jnp.float32)
+        state = guided_update(
+            state, gn, wn, jnp.asarray(unlock), epsilon=eps, curation_windowsize=window
+        )
+        oracle.on_backward_end(gnb, wnb, gnm, wnm, unlock)
+
+        assert bool(state.curation_mode) == oracle.curation, f"step {step}"
+        if oracle.curation:
+            assert int(state.caring_modality) == oracle.caring, f"step {step}"
+        np.testing.assert_allclose(float(state.d_BDR), oracle.d, rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.M_bypass), oracle.Mb, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(state.M_main), oracle.Mm, rtol=2e-4)
+
+
+def test_guided_controller_curation_window_exact():
+    """Enter curation, hold exactly `window` steps, then exit."""
+    eps, window = 0.001, 4
+    state = init_controller_state(2)
+    # Strongly imbalanced stats force entry immediately once unlocked.
+    gn = jnp.asarray([1.0, 1.0, 10.0, 0.1], jnp.float32)
+    wn = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
+
+    state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=eps, curation_windowsize=window)
+    assert bool(state.curation_mode)
+    assert int(state.caring_modality) == 0  # d_BDR > 0 -> care modality 0
+    M_frozen = np.asarray(state.M_main).copy()
+
+    for k in range(window - 1):
+        state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=eps, curation_windowsize=window)
+        assert bool(state.curation_mode), f"window step {k}"
+        np.testing.assert_array_equal(np.asarray(state.M_main), M_frozen)  # M frozen while curating
+    state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=eps, curation_windowsize=window)
+    assert not bool(state.curation_mode)
+
+
+def test_random_controller_distribution_and_lock():
+    state = init_controller_state(2, seed=123)
+    gn = jnp.ones((4,), jnp.float32)
+    wn = jnp.ones((4,), jnp.float32)
+
+    # locked: always off
+    for _ in range(5):
+        state = random_update(state, gn, wn, jnp.asarray(False))
+        assert not bool(state.curation_mode)
+
+    modes = []
+    for _ in range(300):
+        state = random_update(state, gn, wn, jnp.asarray(True))
+        modes.append((bool(state.curation_mode), int(state.caring_modality)))
+    counts = {
+        "off": sum(1 for c, _ in modes if not c),
+        "care0": sum(1 for c, m in modes if c and m == 0),
+        "care1": sum(1 for c, m in modes if c and m == 1),
+    }
+    for k, v in counts.items():
+        assert 60 < v < 140, counts  # ~uniform over 3 modes
+
+
+def test_n3_controller_generalization():
+    """N=3: curate the modality with the largest BDR deviation."""
+    state = init_controller_state(3)
+    gn = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0, 20.0], jnp.float32)  # bypass 2 hot
+    wn = jnp.ones((6,), jnp.float32)
+    state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=0.01, curation_windowsize=2)
+    assert bool(state.curation_mode)
+    assert int(state.caring_modality) == 2

@@ -1,0 +1,200 @@
+"""End-to-end integration: the full train -> record -> mmtm-off eval
+workflow on synthetic ModelNet-shaped data, CPU-runnable (BASELINE config 1
++ config 3), exercising every layer of the framework through the verbatim
+CLI surfaces."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from greedy_multimodal_learning_tpu import config as cfg
+from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+
+
+IMG = 32  # tiny images keep CPU compile+run fast
+
+
+def _bind_common(root):
+    cfg.parse_config(
+        f"""
+        MMTM_MVCNN.num_views = 2
+        MMTM_MVCNN.nclasses = 4
+        get_mvdcndata.root_dir = '{root}'
+        get_mvdcndata.num_views = 2
+        get_mvdcndata.specific_views = [0, 1]
+        """
+    )
+
+
+def _run_training(root, save_path, callbacks, n_epochs=3, extra=""):
+    from train import train
+
+    cfg.parse_config(
+        f"""
+        train.batch_size = 4
+        train.lr = 0.05
+        train.wd = 0.0
+        train.momentum = 0
+        train.callbacks = {callbacks!r}
+        Bias_Mitigation_Strong.epsilon = 0.01
+        Bias_Mitigation_Strong.curation_windowsize = 3
+        Bias_Mitigation_Strong.starting_epoch = 1
+        training_loop.n_epochs = {n_epochs}
+        training_loop.checkpoint_monitor = 'val_acc'
+        {extra}
+        """
+    )
+    _bind_common(root)
+    os.makedirs(save_path, exist_ok=True)
+    train(save_path)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ws")
+    root = make_synthetic_modelnet(
+        str(tmp / "data"), n_train=12, n_test=8, num_views=2, image_size=IMG, nclasses=4
+    )
+    return tmp, root
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Train once (guided controller) and reuse across tests."""
+    tmp, root = workspace
+    save = str(tmp / "guided")
+    cfg.clear_config()
+    _run_training(root, save, ["CompletedStopping", "ReduceLROnPlateau_PyTorch", "Bias_Mitigation_Strong"], n_epochs=3)
+    cfg.clear_config()
+    return tmp, root, save
+
+
+def test_training_artifacts(trained):
+    _, _, save = trained
+    # history.csv with the reference's schema
+    df = pd.read_csv(os.path.join(save, "history.csv"))
+    assert len(df) == 2  # n_epochs - 1 executed epochs (quirk #3)
+    for col in [
+        "epoch", "time", "loss", "acc", "acc_modal_0", "acc_modal_1",
+        "val_loss", "val_acc", "val_acc_modal_0", "val_acc_modal_1",
+        "test_loss", "test_acc", "test_acc_modal_0", "test_acc_modal_1",
+    ]:
+        assert col in df.columns, col
+    assert np.isfinite(df["loss"]).all()
+
+    # structured pickle present (custom callbacks -> quirk #2) with indices
+    with open(os.path.join(save, "history.pickle"), "rb") as f:
+        H = pickle.load(f)
+    assert "train_indices" in H and "val_indices" in H and "test_indices" in H
+    # 12 train samples, 20% val -> 10 train / 2 val (floor semantics)
+    assert len(H["train_indices"][0]) == 10
+    assert len(H["val_indices"][0]) == 2
+    assert len(H["test_indices"][0]) == 8
+    assert set(H["train_indices"][0]) | set(H["val_indices"][0]) == set(range(12))
+
+    # checkpoints
+    assert os.path.exists(os.path.join(save, "model_best_val.pt"))
+    assert os.path.exists(os.path.join(save, "model_last_epoch.pt"))
+    assert os.path.exists(os.path.join(save, "model_best_val.pt.jax.pkl"))
+
+
+def test_checkpoint_torch_loadable(trained):
+    torch = pytest.importorskip("torch")
+    _, _, save = trained
+    ckpt = torch.load(os.path.join(save, "model_best_val.pt"), map_location="cpu", weights_only=False)
+    assert "model" in ckpt and "optimizer" in ckpt
+    sd = ckpt["model"]
+    assert sd["net_view_0.conv1.weight"].shape == (64, 3, 7, 7)  # torch OIHW layout
+    assert sd["net_view_0.fc.weight"].shape == (4, 512)
+    assert "mmtm2.fc_squeeze.weight" in sd
+    assert "net_view_1.layer2.0.downsample.0.weight" in sd
+    assert "net_view_1.bn1.running_mean" in sd
+
+
+def test_recording_then_mmtm_off_eval(trained):
+    """The full utilization-rate pipeline (reference README.md:20-23):
+    recording pass writes squeeze maps; rescale weights average over the
+    training run's train indices; mmtm-off eval consumes them."""
+    from eval import eval_
+
+    tmp, root, save = trained
+
+    # --- RUN A: recording over the train split (configs/recording.gin) ---
+    cfg.clear_config()
+    cfg.parse_config_file("configs/recording.gin")
+    cfg.parse_config(
+        f"""
+        MMTM_MVCNN.nclasses = 4
+        get_mvdcndata.root_dir = '{root}'
+        get_mvdcndata.specific_views = [0, 1]
+        eval_.batch_size = 4
+        eval_.pretrained_weights_path = '{os.path.join(save, "model_best_val.pt")}'
+        """
+    )
+    eval_(save)
+
+    rec = os.path.join(save, "eval_history_batch", "history.pickle")
+    assert os.path.exists(rec)
+    with open(rec, "rb") as f:
+        H = pickle.load(f)
+    batches = H["test_squeezedmaps_array_list"][0]
+    assert len(batches) == 3  # 12 samples / batch 4
+    assert len(batches[0]) == 3  # three MMTM positions
+    assert len(batches[0][0]) == 2  # two views
+    assert batches[0][0][0].shape == (4, 128)
+    assert batches[0][2][0].shape == (4, 512)
+    assert len(H["test_indices"][0]) == 12
+
+    # rescale weights: dataset-average squeeze maps over train indices
+    from greedy_multimodal_learning_tpu.analysis import get_rescale_weights
+
+    weights = get_rescale_weights(os.path.join(save, "eval_history_batch"), save)
+    assert weights[0] is None
+    assert weights[1][0].shape == (128,)
+    assert weights[3][1].shape == (512,)
+
+    # manual cross-check of the averaging semantics for mmtm2/view0
+    with open(os.path.join(save, "history.pickle"), "rb") as f:
+        Htrain = pickle.load(f)
+    train_idx = np.asarray(Htrain["train_indices"][0])
+    ordered = np.concatenate([b[0][0] for b in batches])[np.argsort(H["test_indices"][0])]
+    np.testing.assert_allclose(weights[1][0], ordered[train_idx].mean(0), rtol=1e-5)
+
+    # --- RUN B: mmtm-off eval on test (configs/eval.gin) ---
+    cfg.clear_config()
+    cfg.parse_config_file("configs/eval.gin")
+    cfg.parse_config(
+        f"""
+        MMTM_MVCNN.nclasses = 4
+        MMTM_MVCNN.mmtm_rescale_eval_file_path = '{os.path.join(save, "eval_history_batch")}'
+        MMTM_MVCNN.mmtm_rescale_training_file_path = '{save}'
+        get_mvdcndata.root_dir = '{root}'
+        get_mvdcndata.specific_views = [0, 1]
+        eval_.batch_size = 4
+        eval_.pretrained_weights_path = '{os.path.join(save, "model_best_val.pt")}'
+        """
+    )
+    save_b = str(tmp / "evalB")
+    os.makedirs(save_b, exist_ok=True)
+    eval_(save_b)
+
+    df = pd.read_csv(os.path.join(save_b, "eval_history_batch", "history.csv"))
+    for col in ["test_loss", "test_acc", "test_acc_modal_0", "test_acc_modal_1"]:
+        assert col in df.columns
+    assert np.isfinite(df["test_acc"]).all()
+    cfg.clear_config()
+
+
+def test_random_controller_training(workspace):
+    tmp, root = workspace
+    save = str(tmp / "random")
+    cfg.clear_config()
+    _run_training(root, save, ["CompletedStopping", "ReduceLROnPlateau_PyTorch", "Bias_Mitigation_Random"], n_epochs=2)
+    df = pd.read_csv(os.path.join(save, "history.csv"))
+    assert len(df) == 1
+    assert np.isfinite(df["loss"]).all()
+    cfg.clear_config()

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Trainer entry point — CLI surface preserved verbatim from the reference
+(reference: train.py, README.md:14-18):
+
+    python3 train.py SAVE_PATH CONFIG.gin [BINDINGS]
+
+Config files are '#'-separable mixins; bindings are '#'-separated
+``Name.param=value`` lines.
+"""
+
+import logging
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+from greedy_multimodal_learning_tpu import config as cfg
+from greedy_multimodal_learning_tpu import data as dataset
+from greedy_multimodal_learning_tpu.engine import callbacks as avail_callbacks
+from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer, training_loop
+from greedy_multimodal_learning_tpu.models import build_model_from_config
+from greedy_multimodal_learning_tpu.utils import gin_wrap
+
+
+@cfg.configurable
+def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), seed=777):
+    """Build model/data/optimizer and run the training loop
+    (reference: train.py:43-70)."""
+    model = build_model_from_config()
+    train_loader, valid_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
+
+    optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
+
+    # Callbacks constructed by name lookup, mirroring the reference's
+    # module-dict dispatch (reference: train.py:54-57).
+    callbacks_constructed = []
+    for name in callbacks:
+        ctor = getattr(avail_callbacks, name, None)
+        if ctor is not None:
+            callbacks_constructed.append(ctor())
+
+    # Sample batch for shape-driven initialization.
+    _, sample_views, _ = train_loader.dataset[int(train_loader.indices[0])]
+    import jax.numpy as jnp
+
+    sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
+
+    state = create_train_state(
+        model,
+        optimizer,
+        jax.random.PRNGKey(seed),
+        sample,
+        num_modalities=model.num_towers,
+    )
+
+    training_loop(
+        model=model,
+        optimizer=optimizer,
+        state=state,
+        train=train_loader,
+        valid=valid_loader,
+        test=test_loader,
+        steps_per_epoch=len(train_loader),
+        validation_steps=len(valid_loader),
+        test_steps=len(test_loader),
+        save_path=save_path,
+        config=cfg.CONFIG,
+        custom_callbacks=callbacks_constructed,
+        nummodalities=model.num_towers,
+    )
+
+
+if __name__ == "__main__":
+    gin_wrap(train)
