@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""Headline benchmark: ModelNet40 2-view MMTM-MVCNN training throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+* value — samples/sec/chip for the full jitted guided train step (uint8
+  host batch -> device preprocess -> 2xResNet-18 + MMTM forward/backward ->
+  BDR stats -> SGD -> controller update) at 224x224, bf16 compute / f32
+  state, on the default JAX device (one TPU chip here).
+* vs_baseline — ratio against the PyTorch-CPU reference workload
+  (2xresnet18 + MMTM forward/backward/SGD, batch 8, f32 — the reference's
+  operative configuration; BASELINE.md).  The torch measurement is cached
+  in bench_baseline.json since the CPU is fixed.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+IMAGE = 224
+NCLASSES = 40
+TPU_BATCH = 128
+TORCH_BATCH = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_tpu(steps=20, warmup=5):
+    import jax
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.bdr import build_group_matrix
+    from greedy_multimodal_learning_tpu.engine.steps import build_train_step, make_controller_update
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    log(f"devices: {jax.devices()}")
+    model = MMTMMVCNN(nclasses=NCLASSES, num_towers=2, dtype=jnp.bfloat16)
+    optimizer = make_optimizer(lr=0.1)
+    sample = jnp.zeros((TPU_BATCH, 2, IMAGE, IMAGE, 3), jnp.float32)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
+    gm = build_group_matrix(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
+    ctrl = make_controller_update("guided", 2, epsilon=0.01, curation_windowsize=5)
+    step = build_train_step(model, optimizer, gm, ctrl)
+
+    # Device-resident, double-buffered batches: in production the input
+    # pipeline overlaps H2D with compute; in this dev environment the TPU is
+    # reached through a ~16 MB/s tunnel, so including per-step H2D would
+    # benchmark the tunnel, not the framework.
+    rng = np.random.default_rng(0)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return jax.device_put(
+            {
+                "images": r.integers(0, 255, (TPU_BATCH, 2, IMAGE, IMAGE, 3), dtype=np.uint8),
+                "labels": r.integers(0, NCLASSES, (TPU_BATCH,)).astype(np.int32),
+                "indices": np.arange(TPU_BATCH, dtype=np.int32),
+                "mask": np.ones((TPU_BATCH,), np.float32),
+            }
+        )
+
+    batches = [make_batch(0), make_batch(1)]
+    unlock = jnp.asarray(True)
+
+    t0 = time.perf_counter()
+    for i in range(warmup):
+        state, out = step(state, batches[i % 2], unlock)
+    jax.block_until_ready(out["loss"])
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, out = step(state, batches[i % 2], unlock)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    sps = TPU_BATCH * steps / dt
+    log(f"tpu: {steps} steps in {dt:.3f}s -> {sps:.1f} samples/sec (loss={float(out['loss']):.3f})")
+    return sps
+
+
+def measure_torch_cpu(steps=2):
+    """Reference-equivalent workload in torch on CPU (the reference's own
+    hardware-free configuration): two resnet18 towers fused by three MMTM
+    modules, blend loss, SGD step, batch 8 f32."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        log(f"torch-cpu baseline (cached): {cached['samples_per_sec']:.2f} samples/sec")
+        return cached["samples_per_sec"]
+
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.down = (
+                nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout))
+                if (stride != 1 or cin != cout)
+                else None
+            )
+
+        def forward(self, x):
+            idt = x if self.down is None else self.down(x)
+            out = torch.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return torch.relu(out + idt)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64), nn.ReLU(), nn.MaxPool2d(3, 2, 1)
+            )
+            cin = 64
+            self.layers = nn.ModuleList()
+            for li, w in enumerate([64, 128, 256, 512]):
+                s = 1 if li == 0 else 2
+                self.layers.append(nn.Sequential(BasicBlock(cin, w, s), BasicBlock(w, w, 1)))
+                cin = w
+            self.fc = nn.Linear(512, NCLASSES)
+
+    class MMTMTorch(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.fc_squeeze = nn.Linear(2 * dim, dim)
+            self.fc_a = nn.Linear(dim, dim)
+            self.fc_b = nn.Linear(dim, dim)
+
+        def forward(self, a, b):
+            sa = a.mean((2, 3))
+            sb = b.mean((2, 3))
+            e = torch.relu(self.fc_squeeze(torch.cat([sa, sb], 1)))
+            ga = torch.sigmoid(self.fc_a(e))[:, :, None, None]
+            gb = torch.sigmoid(self.fc_b(e))[:, :, None, None]
+            return a * ga, b * gb
+
+    class TwoTower(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.t0 = Trunk()
+            self.t1 = Trunk()
+            self.mmtms = nn.ModuleList([MMTMTorch(d) for d in (128, 256, 512)])
+
+        def forward(self, x):
+            a = self.t0.stem(x[:, 0])
+            b = self.t1.stem(x[:, 1])
+            a = self.t0.layers[0](a)
+            b = self.t1.layers[0](b)
+            for i in (1, 2, 3):
+                a = self.t0.layers[i](a)
+                b = self.t1.layers[i](b)
+                a, b = self.mmtms[i - 1](a, b)
+            la = self.t0.fc(a.mean((2, 3)))
+            lb = self.t1.fc(b.mean((2, 3)))
+            return la, lb
+
+    model = TwoTower()
+    opt = torch.optim.SGD(model.parameters(), lr=0.1)
+    lossf = nn.CrossEntropyLoss()
+    x = torch.randn(TORCH_BATCH, 2, 3, IMAGE, IMAGE)
+    y = torch.randint(0, NCLASSES, (TORCH_BATCH,))
+
+    # warmup
+    la, lb = model(x)
+    (lossf(la, y) + lossf(lb, y)).backward()
+    opt.step()
+    opt.zero_grad()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        la, lb = model(x)
+        loss = lossf(la, y) + lossf(lb, y)
+        loss.backward()
+        opt.step()
+        opt.zero_grad()
+    dt = time.perf_counter() - t0
+    sps = TORCH_BATCH * steps / dt
+    log(f"torch-cpu: {steps} steps in {dt:.2f}s -> {sps:.2f} samples/sec")
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"samples_per_sec": sps, "batch": TORCH_BATCH, "image": IMAGE, "threads": os.cpu_count()}, f)
+    return sps
+
+
+def main():
+    tpu_sps = measure_tpu()
+    try:
+        base_sps = measure_torch_cpu()
+    except Exception as e:  # torch unavailable -> report raw throughput
+        log(f"baseline measurement failed: {e}")
+        base_sps = None
+    result = {
+        "metric": "modelnet40_2view_train_samples_per_sec_per_chip",
+        "value": round(tpu_sps, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(tpu_sps / base_sps, 2) if base_sps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,7 @@ class MMTM(nn.Module):
         ]
 
         # --- excitation + gates ---
+        pre_scaled = None  # fused-kernel path provides live-gate-scaled features
         if self.SEonly:
             gates = []
             for i in range(n):
@@ -164,13 +165,41 @@ class MMTM(nn.Module):
                 excitation = nn.relu(self.fc_squeeze(mixed.astype(self.dtype)))
                 gates.append(jax.nn.sigmoid(self._excite(i, excitation).astype(jnp.float32)))
         else:
-            joint = jnp.concatenate(squeezes, axis=1)
-            if self.use_pallas:
-                from ..ops.mmtm_pallas import fused_gates
+            use_kernel = (
+                self.use_pallas
+                and n == 2
+                and len(set(self.dims)) == 1
+                and not self.shareweight
+                and features[0].ndim >= 3
+                and not self.is_initializing()
+            )
+            if use_kernel:
+                from ..ops.mmtm_pallas import fused_mmtm_gating
 
-                params = self._gate_params()
-                gates = fused_gates(joint.astype(self.dtype), params, self.dims)
+                C = self.dims[0]
+                f0r = features[0].reshape(batch, -1, C)
+                f1r = features[1].reshape(batch, -1, C)
+                p_sq = self.fc_squeeze.variables["params"]
+                p0 = self.fc_excites[0].variables["params"]
+                p1 = self.fc_excites[1].variables["params"]
+                interpret = jax.default_backend() == "cpu"
+                out0p, out1p, s0, s1, g0, g1 = fused_mmtm_gating(
+                    f0r,
+                    f1r,
+                    p_sq["kernel"],
+                    p_sq["bias"],
+                    p0["kernel"],
+                    p0["bias"],
+                    p1["kernel"],
+                    p1["bias"],
+                    8,
+                    interpret,
+                )
+                squeezes = [s0, s1]
+                gates = [g0, g1]
+                pre_scaled = [out0p.reshape(features[0].shape), out1p.reshape(features[1].shape)]
             else:
+                joint = jnp.concatenate(squeezes, axis=1)
                 excitation = nn.relu(self.fc_squeeze(joint.astype(self.dtype)))
                 gates = [
                     jax.nn.sigmoid(self._excite(i, excitation).astype(jnp.float32)) for i in range(n)
@@ -198,19 +227,23 @@ class MMTM(nn.Module):
         outs = []
         for i in range(n):
             use_avg = jnp.logical_and(curation_mode, caring_modality == i)
-            avg_gate = jnp.broadcast_to(new_running[i][None, :], gates[i].shape)
-            gate = jnp.where(use_avg, jax.lax.stop_gradient(avg_gate), gates[i])
-            # broadcast (B, C) gate over spatial dims of (B, ..., C)
-            bshape = (batch,) + (1,) * (features[i].ndim - 2) + (self.dims[i],)
-            outs.append(features[i] * gate.reshape(bshape).astype(features[i].dtype))
+            bshape = (1,) * (features[i].ndim - 1) + (self.dims[i],)
+            if pre_scaled is not None:
+                # Kernel path already produced f*live_gate; the (rare)
+                # curation branch rescales from f at runtime via cond.
+                f_i = features[i]
+                avg_i = jax.lax.stop_gradient(new_running[i]).reshape(bshape).astype(f_i.dtype)
+                outs.append(
+                    jax.lax.cond(
+                        use_avg,
+                        lambda f=f_i, a=avg_i: f * a,
+                        lambda o=pre_scaled[i]: o,
+                    )
+                )
+            else:
+                avg_gate = jnp.broadcast_to(new_running[i][None, :], gates[i].shape)
+                gate = jnp.where(use_avg, jax.lax.stop_gradient(avg_gate), gates[i])
+                gshape = (batch,) + (1,) * (features[i].ndim - 2) + (self.dims[i],)
+                outs.append(features[i] * gate.reshape(gshape).astype(features[i].dtype))
 
         return outs, scales, squeezed_mps
-
-    def _gate_params(self):
-        """Collect (W, b) pairs for the fused Pallas gate kernel."""
-        ws = [self.fc_squeeze.variables["params"]["kernel"], self.fc_squeeze.variables["params"]["bias"]]
-        for i in range(len(self.dims)):
-            fc = self.fc_excite if self.shareweight else self.fc_excites[i]
-            ws.append(fc.variables["params"]["kernel"])
-            ws.append(fc.variables["params"]["bias"])
-        return ws

@@ -1,0 +1,120 @@
+"""Fused Pallas MMTM gating kernel vs the reference JAX path (interpret
+mode on CPU), forward + VJP + full-module equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from greedy_multimodal_learning_tpu.models import MMTM
+from greedy_multimodal_learning_tpu.ops import fused_mmtm_gating
+
+
+def _ref_gating(f0, f1, wsq, bsq, w0, b0, w1, b1):
+    sq0 = jnp.mean(f0, axis=1)
+    sq1 = jnp.mean(f1, axis=1)
+    e = jax.nn.relu(jnp.concatenate([sq0, sq1], 1) @ wsq + bsq)
+    g0 = jax.nn.sigmoid(e @ w0 + b0)
+    g1 = jax.nn.sigmoid(e @ w1 + b1)
+    return f0 * g0[:, None, :], f1 * g1[:, None, :], sq0, sq1, g0, g1
+
+
+@pytest.fixture
+def gating_inputs():
+    rng = np.random.default_rng(0)
+    B, S, C, D = 8, 10, 16, 16
+    f0 = jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32)
+    f1 = jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32)
+    wsq = jnp.asarray(rng.normal(size=(2 * C, D)) * 0.2, jnp.float32)
+    bsq = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(D, C)) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, C)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    return f0, f1, wsq, bsq, w0, b0, w1, b1
+
+
+def test_fused_forward_matches_reference(gating_inputs):
+    outs = fused_mmtm_gating(*gating_inputs, 4, True)
+    ref = _ref_gating(*gating_inputs)
+    for a, b in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+
+
+def test_fused_forward_ragged_batch(gating_inputs):
+    """Batch not divisible by the block size."""
+    f0, f1, *w = gating_inputs
+    outs = fused_mmtm_gating(f0[:6], f1[:6], *w, 4, True)
+    ref = _ref_gating(f0[:6], f1[:6], *w)
+    for a, b in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+
+
+def test_fused_vjp_matches_reference(gating_inputs):
+    def loss_fused(*args):
+        o0, o1, s0, s1, g0, g1 = fused_mmtm_gating(*args, 4, True)
+        return jnp.sum(o0 * o0) + jnp.sum(jnp.sin(o1)) + jnp.sum(g0) + 0.5 * jnp.sum(s1)
+
+    def loss_ref(*args):
+        o0, o1, s0, s1, g0, g1 = _ref_gating(*args)
+        return jnp.sum(o0 * o0) + jnp.sum(jnp.sin(o1)) + jnp.sum(g0) + 0.5 * jnp.sum(s1)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*gating_inputs)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*gating_inputs)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_mmtm_module_pallas_equivalence():
+    """Full module: pallas path == jax path (gates, state, outputs),
+    including the curation branch."""
+    f0 = jnp.asarray(np.random.default_rng(1).normal(size=(4, 5, 5, 8)), jnp.float32)
+    f1 = jnp.asarray(np.random.default_rng(2).normal(size=(4, 5, 5, 8)), jnp.float32)
+
+    m_jax = MMTM(dims=[8, 8], ratio=4.0, use_pallas=False)
+    m_pl = MMTM(dims=[8, 8], ratio=4.0, use_pallas=True)
+    variables = m_jax.init(jax.random.PRNGKey(0), [f0, f1])
+
+    for cur, care in [(False, 0), (True, 0), (True, 1)]:
+        (outs_j, sc_j, sq_j), mut_j = m_jax.apply(
+            variables, [f0, f1],
+            curation_mode=jnp.asarray(cur), caring_modality=jnp.asarray(care, jnp.int32),
+            return_scale=True, return_squeezed_mps=True, mutable=["mmtm"],
+        )
+        (outs_p, sc_p, sq_p), mut_p = m_pl.apply(
+            variables, [f0, f1],
+            curation_mode=jnp.asarray(cur), caring_modality=jnp.asarray(care, jnp.int32),
+            return_scale=True, return_squeezed_mps=True, mutable=["mmtm"],
+        )
+        for a, b in zip(outs_j, outs_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+        for a, b in zip(sc_j, sc_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+        for a, b in zip(sq_j, sq_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+        for k in mut_j["mmtm"]:
+            np.testing.assert_allclose(
+                np.asarray(mut_j["mmtm"][k]), np.asarray(mut_p["mmtm"][k]), rtol=2e-5, atol=1e-5
+            )
+
+
+def test_mmtm_module_pallas_gradients_match():
+    f0 = jnp.asarray(np.random.default_rng(3).normal(size=(4, 5, 5, 8)), jnp.float32)
+    f1 = jnp.asarray(np.random.default_rng(4).normal(size=(4, 5, 5, 8)), jnp.float32)
+    m_jax = MMTM(dims=[8, 8], ratio=4.0, use_pallas=False)
+    m_pl = MMTM(dims=[8, 8], ratio=4.0, use_pallas=True)
+    variables = m_jax.init(jax.random.PRNGKey(0), [f0, f1])
+
+    def loss(params, module):
+        (outs, _, _), _ = module.apply(
+            {**variables, "params": params}, [f0, f1], mutable=["mmtm"]
+        )
+        return jnp.sum(outs[0] ** 2) + jnp.sum(jnp.abs(outs[1]))
+
+    gj = jax.grad(loss)(variables["params"], m_jax)
+    gp = jax.grad(loss)(variables["params"], m_pl)
+    flat_j = jax.tree_util.tree_leaves(gj)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_j, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
