@@ -27,6 +27,40 @@ from typing import List, Sequence
 import numpy as np
 
 
+def device_prefetch(iterator, depth: int = 2):
+    """Stage host batches onto the device ``depth`` ahead of consumption so
+    H2D transfers overlap with the running step (the reference blocks on a
+    synchronous ``.to(device)`` per batch, reference: src/framework.py:168)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def stage(batch):
+        # "indices" and "size" stay on host: they are only consumed by the
+        # host-side history accumulation, never by the jitted step.
+        staged = dict(batch)
+        for key in ("images", "labels", "mask"):
+            if key in staged:
+                staged[key] = jax.device_put(staged[key])
+        return staged
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class BatchPipeline:
     def __init__(
         self,

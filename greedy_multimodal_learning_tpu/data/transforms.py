@@ -22,15 +22,19 @@ from .modelnet import IMAGENET_MEAN, IMAGENET_STD
 
 
 def preprocess(images_u8, *, train: bool, rng=None, dtype=jnp.float32):
-    """(B, V, H, W, C) uint8 -> normalized dtype array, optional random flip."""
+    """uint8 (B, V, ..., H, W, C) -> normalized dtype array, optional random
+    horizontal flip (per (sample, view/modality)).  Works for image stacks
+    (B, V, H, W, C) and video clips (B, M, T, H, W, C) alike: the flip is
+    along the width axis (-2)."""
     x = images_u8.astype(jnp.float32) / 255.0
     if train:
         if rng is None:
             raise ValueError("train preprocessing requires an rng key")
         b, v = images_u8.shape[0], images_u8.shape[1]
-        flip = jax.random.bernoulli(rng, 0.5, (b, v))
-        x = jnp.where(flip[:, :, None, None, None], x[:, :, :, ::-1, :], x)
-    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 1, 3)
-    std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 1, 3)
+        flip = jax.random.bernoulli(rng, 0.5, (b, v)).reshape((b, v) + (1,) * (x.ndim - 2))
+        x = jnp.where(flip, jnp.flip(x, axis=-2), x)
+    bshape = (1,) * (x.ndim - 1) + (3,)
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(bshape)
+    std = jnp.asarray(IMAGENET_STD).reshape(bshape)
     x = (x - mean) / std
     return x.astype(dtype)

@@ -48,8 +48,9 @@ def pytrees_to_state_dict(params, batch_stats):
         parts, leafname = list(path[:-1]), path[-1]
         tparts = _torchify_path(parts)
         if leafname == "kernel":
-            if arr.ndim == 4:
-                out[".".join(tparts + ["weight"])] = np.transpose(arr, (3, 2, 0, 1))
+            if arr.ndim >= 3:  # convNd: flax (*spatial, I, O) -> torch (O, I, *spatial)
+                axes = (arr.ndim - 1, arr.ndim - 2) + tuple(range(arr.ndim - 2))
+                out[".".join(tparts + ["weight"])] = np.transpose(arr, axes)
             else:
                 out[".".join(tparts + ["weight"])] = np.transpose(arr, (1, 0))
         elif leafname == "scale":
@@ -140,9 +141,13 @@ def load_pretrained(filepath):
     return params, batch_stats, None
 
 
-def load_into_state(state, filepath):
+def load_into_state(state, filepath, full_restore: bool = False):
     """Non-strict merge of a checkpoint into a fresh TrainState
-    (reference semantics: src/training_loop.py:78-83)."""
+    (reference semantics: src/training_loop.py:78-83).
+
+    ``full_restore=True`` additionally restores controller state, global
+    step, data RNG and optimizer hyperparameters from the sidecar — exact
+    resume, a capability the reference lacks (SURVEY §5)."""
     params, batch_stats, extras = load_pretrained(filepath)
     target_p = tree_to_numpy(state.params)
     target_b = tree_to_numpy(state.batch_stats)
@@ -155,5 +160,29 @@ def load_into_state(state, filepath):
     if extras is not None and extras.get("mmtm"):
         merged_m = merge_loaded_params(tree_to_numpy(state.mmtm), extras["mmtm"])
         new_state = new_state.replace(mmtm=jax.tree_util.tree_map(np.asarray, merged_m))
+    if full_restore and extras is not None:
+        c = extras.get("controller")
+        if c:
+            new_state = new_state.replace(
+                controller=state.controller.replace(
+                    M_main=np.asarray(c["M_main"]),
+                    M_bypass=np.asarray(c["M_bypass"]),
+                    curation_mode=np.asarray(c["curation_mode"]),
+                    caring_modality=np.asarray(c["caring_modality"]),
+                    curation_step=np.asarray(c["curation_step"]),
+                    d_BDR=np.asarray(c["d_BDR"]),
+                    rng=np.asarray(c["rng"]),
+                )
+            )
+        if "step" in extras:
+            new_state = new_state.replace(step=np.asarray(extras["step"]))
+        if "rng" in extras:
+            new_state = new_state.replace(rng=np.asarray(extras["rng"]))
+        hyper = extras.get("opt_hyperparams") or {}
+        if hyper and new_state.opt_state is not None and hasattr(new_state.opt_state, "hyperparams"):
+            merged = dict(new_state.opt_state.hyperparams)
+            for k, v in hyper.items():
+                merged[k] = np.asarray(v)
+            new_state = new_state.replace(opt_state=new_state.opt_state._replace(hyperparams=merged))
     logger.info("Done reloading!")
     return new_state

@@ -44,9 +44,13 @@ def _cycle(iterable):
             yield x
 
 
-def _get_step_iterator(steps, generator):
+def _get_step_iterator(steps, generator, prefetch_depth=2):
     count_iterator = range(1, steps + 1) if steps is not None else itertools.count(1)
     generator = _cycle(generator) if steps is not None else generator
+    if prefetch_depth:
+        from ..data.pipeline import device_prefetch
+
+        generator = device_prefetch(generator, depth=prefetch_depth)
     return zip(count_iterator, generator)
 
 
@@ -91,10 +95,22 @@ class Trainer:
         })
         self._train_step = build_train_step(model, optimizer, group_matrix, ctrl_update, jit=jit) if optimizer is not None else None
         self._eval_step = build_eval_step(model, mmtm_off=mmtm_off, jit=jit)
+        # Optional profiling (SURVEY §5: the reference has only wall-clock
+        # timers; here a jax.profiler trace can be captured per run).
+        self.profile_dir = None
+        self._profiling = False
+
+    def enable_profiling(self, trace_dir: str):
+        self.profile_dir = trace_dir
 
     # --- handles used by callbacks (mirroring model_pytoune attributes) ---
 
     def reset_controller(self):
+        if getattr(self, "_skip_next_controller_reset", False):
+            # resume path: controller state was just restored from the
+            # sidecar; the train-begin reset must not wipe it.
+            self._skip_next_controller_reset = False
+            return
         n = self.state.controller.M_main.shape[0]
         self.state = self.state.replace(controller=init_controller_state(n))
         self._unlock = False
@@ -119,15 +135,19 @@ class Trainer:
     def _train_epoch(self, generator, steps_per_epoch, callback_list):
         records = []
         unlock = jnp.asarray(self._unlock)
+        if self.profile_dir and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
         for batch_ind, batch in _get_step_iterator(steps_per_epoch, generator):
             batch_begin_time = timeit.default_timer()
             callback_list.on_batch_begin(batch_ind, {})
             callback_list.on_forward_begin(batch_ind, batch)
             size = batch.pop("size")
+            indices = batch.pop("indices")
             self.state, out = self._train_step(self.state, batch, unlock)
             callback_list.on_backward_end(batch_ind)
             records.append(
-                {"out": out, "size": size, "indices": batch["indices"][:size], "t0": batch_begin_time}
+                {"out": out, "size": size, "indices": np.asarray(indices)[:size], "t0": batch_begin_time}
             )
             batch_logs = {
                 "batch": batch_ind,
@@ -143,6 +163,13 @@ class Trainer:
             for i in range(self.nummodalities):
                 batch_logs[f"acc_modal_{i}"] = out["acc_modal"][i]
             callback_list.on_batch_end(batch_ind, batch_logs)
+
+        if self._profiling:
+            # one traced epoch per enable_profiling() call
+            jax.block_until_ready(records[-1]["out"]["loss"] if records else None)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.profile_dir = None
 
         # One synchronization point for the whole epoch.
         outs = jax.device_get([r["out"] for r in records])
@@ -174,9 +201,10 @@ class Trainer:
             batch_begin_time = timeit.default_timer()
             progress.on_batch_begin(batch_ind, {})
             size = batch.pop("size")
+            indices = batch.pop("indices")
             new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
             self.state = self.state.replace(mmtm=new_mmtm)
-            records.append({"out": out, "size": size, "indices": batch["indices"][:size]})
+            records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
             progress.on_batch_end(
                 batch_ind,
                 {
@@ -225,6 +253,7 @@ class Trainer:
         validation_steps=None,
         test_steps=None,
         callbacks=(),
+        initial_epoch=1,
     ):
         callback_list = CallbackList(list(callbacks))
         callback_list.append(ProgressionCallback())
@@ -234,7 +263,7 @@ class Trainer:
         self.stop_training = False
         callback_list.on_train_begin({})
 
-        for epoch in range(1, epochs + 1):
+        for epoch in range(initial_epoch, epochs + 1):
             callback_list.on_epoch_begin(epoch, {})
             epoch_begin_time = timeit.default_timer()
 

@@ -94,15 +94,31 @@ def training_loop(
     n_epochs=100,
     verbose=True,
     nummodalities=2,
+    resume=False,
 ):
     callbacks = list(custom_callbacks)
 
     history_csv_path = os.path.join(save_path, "history.csv")
     history_pkl_path = os.path.join(save_path, "history.pkl")
-    logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
-    _remove_stale([history_pkl_path, history_csv_path])
+    last_ckpt = os.path.join(save_path, "model_last_epoch.pt")
+    resuming = bool(resume) and os.path.exists(last_ckpt) and os.path.exists(history_csv_path)
 
     H = {}
+    initial_epoch = 1
+    if resuming:
+        # New capability vs the reference (which always restarts and wipes
+        # history, SURVEY §5): reload scalar history and continue from the
+        # epoch after the last completed one.
+        import pandas as pd
+
+        df = pd.read_csv(history_csv_path)
+        for col in df.columns:
+            H[col] = df[col].tolist()
+        initial_epoch = int(df["epoch"].iloc[-1]) + 1
+        logger.info("Resuming from %s at epoch %d", last_ckpt, initial_epoch)
+    else:
+        logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
+        _remove_stale([history_pkl_path, history_csv_path])
     # quirk #2 reproduced: structured pickle iff custom callbacks present.
     callbacks += _construct_default_callbacks(
         H, save_path, checkpoint_monitor, save_with_structure=bool(custom_callbacks)
@@ -127,6 +143,16 @@ def training_loop(
         clbk.set_config(config)
         clbk.set_model_pytoune(trainer)
 
+    if resuming:
+        from . import checkpoint as ckpt_mod
+
+        trainer.state = ckpt_mod.load_into_state(trainer.state, last_ckpt, full_restore=True)
+        trainer._skip_next_controller_reset = True
+        if checkpoint_monitor in H:
+            for clbk in callbacks:
+                if isinstance(clbk, ModelCheckpoint) and clbk.save_best_only:
+                    clbk.best = max(H[checkpoint_monitor])
+
     # last-epoch checkpoint every epoch (reference: src/training_loop.py:44-48)
     callbacks.append(
         LambdaCallback(
@@ -143,6 +169,7 @@ def training_loop(
         steps_per_epoch=steps_per_epoch,
         epochs=n_epochs - 1,  # quirk #3 (reference: src/training_loop.py:141)
         callbacks=callbacks,
+        initial_epoch=initial_epoch,
     )
     return trainer
 

@@ -57,14 +57,16 @@ def _convert_entry(torch_key: str, array: np.ndarray):
     if leaf == "num_batches_tracked":
         return None, None, None
 
-    is_conv = array.ndim == 4
+    is_conv = array.ndim >= 3  # convNd weight (O, I, *spatial)
     is_linear_w = leaf == "weight" and array.ndim == 2
     is_bn_like = leaf in ("weight", "bias") and array.ndim == 1 and (
         mapped and ("bn" in mapped[-1] or mapped[-1].startswith("downsample_bn"))
     )
 
     if is_conv:
-        return "params", tuple(mapped) + ("kernel",), np.transpose(array, (2, 3, 1, 0))
+        # torch (O, I, *spatial) -> flax (*spatial, I, O)
+        axes = tuple(range(2, array.ndim)) + (1, 0)
+        return "params", tuple(mapped) + ("kernel",), np.transpose(array, axes)
     if is_linear_w:
         return "params", tuple(mapped) + ("kernel",), np.transpose(array, (1, 0))
     if is_bn_like:

@@ -23,11 +23,22 @@ from greedy_multimodal_learning_tpu.utils import gin_wrap
 
 
 @cfg.configurable
-def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), seed=777):
+def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), seed=777, model="MMTM_MVCNN"):
     """Build model/data/optimizer and run the training loop
-    (reference: train.py:43-70)."""
-    model = build_model_from_config()
-    train_loader, valid_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
+    (reference: train.py:43-70).
+
+    ``model`` selects the family: 'MMTM_MVCNN' (ModelNet40 multiview,
+    the reference's model) or 'MMTM_3DCNN' (NVGesture-style 3-modality
+    3D-CNN, BASELINE config 4)."""
+    if model == "MMTM_3DCNN":
+        from greedy_multimodal_learning_tpu.data.nvgesture import get_nvgesturedata
+        from greedy_multimodal_learning_tpu.models import build_3dcnn_from_config
+
+        model = build_3dcnn_from_config()
+        train_loader, valid_loader, test_loader = get_nvgesturedata(batch_size=batch_size)
+    else:
+        model = build_model_from_config()
+        train_loader, valid_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
 
     optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
 
