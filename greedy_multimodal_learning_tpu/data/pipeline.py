@@ -27,15 +27,19 @@ from typing import List, Sequence
 import numpy as np
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, put=None):
     """Stage host batches onto the device ``depth`` ahead of consumption so
     H2D transfers overlap with the running step (the reference blocks on a
-    synchronous ``.to(device)`` per batch, reference: src/framework.py:168)."""
+    synchronous ``.to(device)`` per batch, reference: src/framework.py:168).
+
+    ``put`` overrides the placement function (e.g. a mesh-sharding
+    device_put for data-parallel runs)."""
     import collections
 
     import jax
 
     queue = collections.deque()
+    put = put or jax.device_put
 
     def stage(batch):
         # "indices" and "size" stay on host: they are only consumed by the
@@ -43,7 +47,7 @@ def device_prefetch(iterator, depth: int = 2):
         staged = dict(batch)
         for key in ("images", "labels", "mask"):
             if key in staged:
-                staged[key] = jax.device_put(staged[key])
+                staged[key] = put(staged[key])
         return staged
 
     it = iter(iterator)

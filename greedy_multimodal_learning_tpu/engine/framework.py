@@ -44,13 +44,13 @@ def _cycle(iterable):
             yield x
 
 
-def _get_step_iterator(steps, generator, prefetch_depth=2):
+def _get_step_iterator(steps, generator, prefetch_depth=2, put=None):
     count_iterator = range(1, steps + 1) if steps is not None else itertools.count(1)
     generator = _cycle(generator) if steps is not None else generator
     if prefetch_depth:
         from ..data.pipeline import device_prefetch
 
-        generator = device_prefetch(generator, depth=prefetch_depth)
+        generator = device_prefetch(generator, depth=prefetch_depth, put=put)
     return zip(count_iterator, generator)
 
 
@@ -69,10 +69,22 @@ class Trainer:
         average_squeezemaps=None,
         mmtm_off: bool = False,
         jit: bool = True,
+        mesh=None,
+        model_parallel_min_dim: int = 256,
     ):
         self.model = model
         self.optimizer = optimizer
         self.state = state
+        # GSPMD scale-out: shard the state over the mesh; batches are
+        # sharded on the data axis at prefetch time (parallel/mesh.py).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_batch, shard_train_state
+
+            self.state = shard_train_state(self.state, mesh, model_parallel_min_dim)
+            self._put = lambda b: shard_batch(b, mesh)
+        else:
+            self._put = None
         self.metrics_names = list(metrics_names)
         self.nummodalities = nummodalities
         self.verbose = verbose
@@ -138,7 +150,7 @@ class Trainer:
         if self.profile_dir and not self._profiling:
             jax.profiler.start_trace(self.profile_dir)
             self._profiling = True
-        for batch_ind, batch in _get_step_iterator(steps_per_epoch, generator):
+        for batch_ind, batch in _get_step_iterator(steps_per_epoch, generator, put=self._put):
             batch_begin_time = timeit.default_timer()
             callback_list.on_batch_begin(batch_ind, {})
             callback_list.on_forward_begin(batch_ind, batch)
@@ -197,7 +209,7 @@ class Trainer:
         progress.set_model_pytoune(self)
         records = []
         avg_maps = self.average_squeezemaps
-        for batch_ind, batch in _get_step_iterator(steps, generator):
+        for batch_ind, batch in _get_step_iterator(steps, generator, put=self._put):
             batch_begin_time = timeit.default_timer()
             progress.on_batch_begin(batch_ind, {})
             size = batch.pop("size")

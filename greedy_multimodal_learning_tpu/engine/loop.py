@@ -95,6 +95,8 @@ def training_loop(
     verbose=True,
     nummodalities=2,
     resume=False,
+    data_parallel=False,
+    model_parallel=1,
 ):
     callbacks = list(custom_callbacks)
 
@@ -125,6 +127,17 @@ def training_loop(
     )
 
     kind, ctrl_cfg = _detect_controller(custom_callbacks)
+
+    # GSPMD scale-out (BASELINE config 5): shard over all visible devices.
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
+        logger.info("Data-parallel mesh: %s", dict(mesh.shape))
+
     trainer = Trainer(
         model=model,
         optimizer=optimizer,
@@ -134,6 +147,7 @@ def training_loop(
         metrics_names=["acc"],
         nummodalities=nummodalities,
         verbose=verbose,
+        mesh=mesh,
     )
 
     for clbk in callbacks:
