@@ -22,14 +22,29 @@ from greedy_multimodal_learning_tpu.utils import gin_wrap
 
 
 @cfg.configurable
-def eval_(save_path, target_data_split="test", pretrained_weights_path=None, batch_size=128, callbacks=(), seed=777):
+def eval_(
+    save_path,
+    target_data_split="test",
+    pretrained_weights_path=None,
+    batch_size=128,
+    callbacks=(),
+    seed=777,
+    model="MMTM_MVCNN",
+):
     """Evaluate a checkpoint on a data split (reference: eval.py:23-58).
 
     With ``MMTM_MVCNN.mmtm_off=True`` the dataset-average squeeze maps are
     loaded via the analysis pipeline (reference: src/model.py:39-48) and the
     cross-modal flow is cut during the forward pass."""
-    model = build_model_from_config()
-    train_loader, val_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
+    if model == "MMTM_3DCNN":
+        from greedy_multimodal_learning_tpu.data.nvgesture import get_nvgesturedata
+        from greedy_multimodal_learning_tpu.models import build_3dcnn_from_config
+
+        model = build_3dcnn_from_config()
+        train_loader, val_loader, test_loader = get_nvgesturedata(batch_size=batch_size)
+    else:
+        model = build_model_from_config()
+        train_loader, val_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
 
     if target_data_split == "test":
         target_data = test_loader
