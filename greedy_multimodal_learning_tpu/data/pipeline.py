@@ -104,12 +104,19 @@ class BatchPipeline:
         b = self.batch_size
         size = len(batch_indices)
         items = [self.dataset[int(i)] for i in batch_indices]
-        imgs = np.stack([it[1] for it in items])  # (size, V, H, W, C) u8
+        samples = [it[1] for it in items]
+        # Native GIL-free gather+pad (csrc/fastio.cc); numpy fallback.
+        from ..utils.native import collate_u8
+
+        imgs = collate_u8(samples, b)
+        if imgs is None:
+            imgs = np.stack(samples)  # (size, V, ..., C)
+            if size < b:
+                imgs = np.concatenate([imgs, np.zeros((b - size,) + imgs.shape[1:], imgs.dtype)])
         labels = np.array([it[2] for it in items], np.int32)
         idxs = np.array([it[0] for it in items], np.int32)
         if size < b:  # pad to static shape; mask marks real rows
             pad = b - size
-            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
             idxs = np.concatenate([idxs, np.full((pad,), -1, np.int32)])
         mask = np.zeros((b,), np.float32)

@@ -196,6 +196,16 @@ class Trainer:
         for i in range(self.nummodalities):
             vals = np.array([o["acc_modal"][i] for o in outs])
             train_dict[f"acc_modal_{i}"] = float((vals * sizes).sum() / total)
+        # Recording extras during training (reference records scales/squeeze
+        # maps whenever the model's saving flags are on,
+        # src/framework.py:158-161; prefixed train_* in the epoch log).
+        for key in ("mmtmscales_list", "squeezedmaps_array_list"):
+            if records and key in outs[0]:
+                per_batch = []
+                for rec, o in zip(records, outs):
+                    sz = int(rec["size"])
+                    per_batch.append([[np.asarray(v)[:sz] for v in mmtm] for mmtm in o[key]])
+                train_dict[f"train_{key}"] = per_batch
         if np.isnan(losses).any():
             self.stop_training = True
         return train_dict

@@ -1,0 +1,94 @@
+"""Loader for the native data-plane library (csrc/fastio.cc).
+
+Compiles the C++ source with the system toolchain on first use (cached as a
+shared object next to the source) and exposes it via ctypes.  Every caller
+must tolerate ``lib() is None`` — environments without a compiler fall back
+to the pure-numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SRC = os.path.abspath(os.path.join(_CSRC, "fastio.cc"))
+_SO = os.path.abspath(os.path.join(_CSRC, "libgmlfastio.so"))
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def lib():
+    """Return the loaded ctypes library, building it if needed; None if the
+    native path is unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            lib_ = ctypes.CDLL(_SO)
+            lib_.gml_collate_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int32,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
+            lib_.gml_gather_views_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
+            _lib = lib_
+        except Exception as e:  # no compiler / load failure -> numpy fallback
+            logger.info("native fastio unavailable (%s); using numpy path", e)
+            _lib = None
+        return _lib
+
+
+def collate_u8(samples, batch_size: int) -> np.ndarray | None:
+    """Gather equal-shape uint8 sample arrays into a zero-padded
+    (batch_size, *shape) batch with the GIL released.  Returns None when the
+    native library is unavailable or inputs are unsuitable."""
+    L = lib()
+    if L is None or not samples:
+        return None
+    first = samples[0]
+    if first.dtype != np.uint8:
+        return None
+    sample_bytes = first.nbytes
+    out = np.empty((batch_size,) + first.shape, np.uint8)
+    ptrs = (ctypes.c_void_p * len(samples))()
+    for i, s in enumerate(samples):
+        if not s.flags["C_CONTIGUOUS"] or s.shape != first.shape:
+            return None
+        ptrs[i] = s.ctypes.data
+    L.gml_collate_u8(
+        ptrs,
+        np.int32(len(samples)),
+        np.int64(sample_bytes),
+        out.ctypes.data,
+        np.int32(batch_size),
+    )
+    return out
