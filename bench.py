@@ -39,7 +39,7 @@ def measure_tpu(steps=20, warmup=5):
     import jax.numpy as jnp
 
     from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer
-    from greedy_multimodal_learning_tpu.engine.bdr import build_group_matrix
+    from greedy_multimodal_learning_tpu.engine.bdr import GroupReducer
     from greedy_multimodal_learning_tpu.engine.steps import build_train_step, make_controller_update
     from greedy_multimodal_learning_tpu.models import MMTMMVCNN
 
@@ -48,7 +48,7 @@ def measure_tpu(steps=20, warmup=5):
     optimizer = make_optimizer(lr=0.1)
     sample = jnp.zeros((TPU_BATCH, 2, IMAGE, IMAGE, 3), jnp.float32)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
-    gm = build_group_matrix(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
+    gm = GroupReducer(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
     ctrl = make_controller_update("guided", 2, epsilon=0.01, curation_windowsize=5)
     step = build_train_step(model, optimizer, gm, ctrl)
 

@@ -25,8 +25,14 @@ def preprocess(images_u8, *, train: bool, rng=None, dtype=jnp.float32):
     """uint8 (B, V, ..., H, W, C) -> normalized dtype array, optional random
     horizontal flip (per (sample, view/modality)).  Works for image stacks
     (B, V, H, W, C) and video clips (B, M, T, H, W, C) alike: the flip is
-    along the width axis (-2)."""
-    x = images_u8.astype(jnp.float32) / 255.0
+    along the width axis (-2).
+
+    HBM-lean: when the compute dtype is half-precision, all arithmetic runs
+    in that dtype (input quantization is already 1/255, so the extra
+    rounding is negligible), and normalize folds into a single FMA
+    ``x * (1/(255*std)) - mean/std``."""
+    compute = jnp.float32 if dtype == jnp.float32 else jnp.dtype(dtype)
+    x = images_u8.astype(compute)
     if train:
         if rng is None:
             raise ValueError("train preprocessing requires an rng key")
@@ -34,7 +40,7 @@ def preprocess(images_u8, *, train: bool, rng=None, dtype=jnp.float32):
         flip = jax.random.bernoulli(rng, 0.5, (b, v)).reshape((b, v) + (1,) * (x.ndim - 2))
         x = jnp.where(flip, jnp.flip(x, axis=-2), x)
     bshape = (1,) * (x.ndim - 1) + (3,)
-    mean = jnp.asarray(IMAGENET_MEAN).reshape(bshape)
-    std = jnp.asarray(IMAGENET_STD).reshape(bshape)
-    x = (x - mean) / std
+    scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), compute).reshape(bshape)
+    bias = jnp.asarray(IMAGENET_MEAN / IMAGENET_STD, compute).reshape(bshape)
+    x = x * scale - bias
     return x.astype(dtype)

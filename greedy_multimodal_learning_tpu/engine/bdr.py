@@ -63,8 +63,48 @@ def group_sq_norms(tree, group_matrix: jnp.ndarray) -> jnp.ndarray:
     """Per-group Σ‖leaf‖² — jit-friendly masked tree reduction.
 
     Returns (2N,) float32: [main_0.., bypass_0..].
+    (Reference implementation; the fast path is :class:`GroupReducer`.)
     """
     leaf_sums = jnp.stack(
         [jnp.sum(jnp.square(leaf.astype(jnp.float32))) for leaf in jax.tree_util.tree_leaves(tree)]
     )
     return leaf_sums @ group_matrix
+
+
+class GroupReducer:
+    """Fast in-step group reduction.
+
+    Per-leaf reductions launch one tiny kernel per parameter (~240 kernels
+    per step measured on v5e).  Leaves sharing the same group-membership
+    *pattern* (main_0 / main_1 / bypass_0 / bypass_1 / shared-bypass /
+    ungrouped — at most 2^(2N) but ≤6 in practice) are instead flattened,
+    concatenated, and reduced in ONE kernel per pattern; the per-pattern
+    sums then scatter into the (2N,) result by the pattern vectors.
+    (A segment_sum formulation was tried first and is ~400 ms on TPU — it
+    lowers to scatter-add; avoid.)
+    """
+
+    def __init__(
+        self,
+        params,
+        branchnames: Sequence[str] = ("net_view_0", "net_view_1"),
+        mmtm_names: Sequence[str] = ("visual", "skeleton"),
+    ):
+        self.matrix = build_group_matrix(params, branchnames, mmtm_names)
+        patterns = {}
+        for row, vec in enumerate(self.matrix):
+            patterns.setdefault(tuple(vec.tolist()), []).append(row)
+        # drop all-zero pattern (ungrouped leaves contribute nothing)
+        self.patterns = [
+            (np.asarray(vec, np.float32), rows)
+            for vec, rows in patterns.items()
+            if any(vec)
+        ]
+
+    def __call__(self, tree) -> jnp.ndarray:
+        leaves = jax.tree_util.tree_leaves(tree)
+        total = jnp.zeros((self.matrix.shape[1],), jnp.float32)
+        for vec, rows in self.patterns:
+            flat = jnp.concatenate([leaves[r].reshape(-1).astype(jnp.float32) for r in rows])
+            total = total + jnp.asarray(vec) * jnp.sum(flat * flat)
+        return total

@@ -101,7 +101,9 @@ class Trainer:
         mmtm_names = self.controller_config.get("mmtm_names", None)
         if not mmtm_names:
             mmtm_names = list(getattr(model, "modality_names", [f"modal_{i}" for i in range(nummodalities)]))
-        group_matrix = build_group_matrix(state.params, branchnames, mmtm_names)
+        from .bdr import GroupReducer
+
+        group_matrix = GroupReducer(state.params, branchnames, mmtm_names)
         ctrl_update = make_controller_update(controller_kind, nummodalities, **{
             k: v for k, v in self.controller_config.items() if k in ("epsilon", "curation_windowsize")
         })

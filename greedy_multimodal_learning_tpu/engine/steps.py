@@ -62,8 +62,16 @@ def build_train_step(
     donate: bool = True,
     jit: bool = True,
 ):
-    """Returns step(state, batch, unlock) -> (state, out_scalars)."""
-    gm = jnp.asarray(group_matrix)
+    """Returns step(state, batch, unlock) -> (state, out_scalars).
+
+    ``group_matrix`` is either an (L, 2N) matrix (slow per-leaf reduction)
+    or a callable :class:`~..engine.bdr.GroupReducer` (fused fast path).
+    """
+    if callable(group_matrix):
+        reduce_groups = group_matrix
+    else:
+        gm = jnp.asarray(group_matrix)
+        reduce_groups = lambda tree: group_sq_norms(tree, gm)
 
     def train_step(state, batch, unlock):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -111,8 +119,8 @@ def build_train_step(
 
         # BDR statistics: grads *before* the update, weights at backward time
         # (reference: src/framework.py:313-315).
-        gn = group_sq_norms(grads, gm)
-        wn = group_sq_norms(state.params, gm)
+        gn = reduce_groups(grads)
+        wn = reduce_groups(state.params)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
