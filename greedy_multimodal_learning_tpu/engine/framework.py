@@ -309,6 +309,57 @@ class Trainer:
 
         callback_list.on_train_end({})
 
+    def predict(self, generator, steps=None):
+        """Inference: iterate a batch pipeline and return per-sample
+        predictions (new serving-oriented capability; the reference exposes
+        only loss/accuracy evaluation).
+
+        Returns dict with ``indices`` (dataset order of the inputs),
+        ``predictions`` (argmax of blended logits), ``probabilities``
+        (softmax of blended logits) and per-view ``logits``.
+        """
+        if steps is None:
+            steps = len(generator)
+        all_idx, all_logits = [], []
+        for _, batch in _get_step_iterator(steps, generator, put=self._put):
+            size = batch.pop("size")
+            indices = batch.pop("indices")
+            _, out = self._predict_step(self.state, batch)
+            all_idx.append(np.asarray(indices)[:size])
+            all_logits.append([np.asarray(l)[:size] for l in out])
+        logits = [np.concatenate([b[v] for b in all_logits]) for v in range(self.nummodalities)]
+        blend = sum(logits) / float(self.nummodalities)
+        ex = np.exp(blend - blend.max(axis=1, keepdims=True))
+        return {
+            "indices": np.concatenate(all_idx),
+            "predictions": blend.argmax(axis=1),
+            "probabilities": ex / ex.sum(axis=1, keepdims=True),
+            "logits": logits,
+        }
+
+    @property
+    def _predict_step(self):
+        if not hasattr(self, "_predict_step_fn"):
+            import jax as _jax
+
+            from ..data.transforms import preprocess as _pre
+
+            model = self.model
+
+            def fn(state, batch):
+                x = _pre(batch["images"], train=False, dtype=model.dtype)
+                (blend, logits, _, _), mut = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+                    x,
+                    train=False,
+                    valid_mask=batch["mask"],
+                    mutable=["mmtm"],
+                )
+                return mut["mmtm"], logits
+
+            self._predict_step_fn = _jax.jit(fn)
+        return self._predict_step_fn
+
     def eval_loop(self, test_generator, *, test_steps=None, epochs=1, callbacks=()):
         """One-or-more eval passes (reference: src/framework.py:252-268;
         note epochs=0 still runs one pass via ``while epoch <= epochs``)."""
