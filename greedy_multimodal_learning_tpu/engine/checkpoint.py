@@ -141,6 +141,85 @@ def load_pretrained(filepath):
     return params, batch_stats, None
 
 
+def state_to_tree(state) -> dict:
+    """Full TrainState -> pure-array pytree (for Orbax / serialization)."""
+    tree = {
+        "params": tree_to_numpy(state.params),
+        "batch_stats": tree_to_numpy(state.batch_stats),
+        "mmtm": tree_to_numpy(state.mmtm),
+        "controller": tree_to_numpy(
+            {
+                "M_main": state.controller.M_main,
+                "M_bypass": state.controller.M_bypass,
+                "curation_mode": state.controller.curation_mode,
+                "caring_modality": state.controller.caring_modality,
+                "curation_step": state.controller.curation_step,
+                "d_BDR": state.controller.d_BDR,
+                "rng": state.controller.rng,
+            }
+        ),
+        "step": np.asarray(state.step),
+        "rng": np.asarray(state.rng),
+    }
+    if state.opt_state is not None:
+        tree["opt_state"] = tree_to_numpy(state.opt_state)
+    return tree
+
+
+def tree_into_state(state, tree):
+    """Inverse of state_to_tree: write a restored pytree into a TrainState
+    (structure must match; full exact resume incl. optimizer moments)."""
+    c = tree["controller"]
+    new = state.replace(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        mmtm=tree["mmtm"],
+        controller=state.controller.replace(**{k: np.asarray(v) for k, v in c.items()}),
+        step=np.asarray(tree["step"]),
+        rng=np.asarray(tree["rng"]),
+    )
+    if "opt_state" in tree and state.opt_state is not None:
+        restored = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(tree["opt_state"]),
+        )
+        new = new.replace(opt_state=restored)
+    return new
+
+
+class OrbaxCheckpointer:
+    """Async full-state checkpointing via orbax CheckpointManager — the
+    production backend (SURVEY §5: the reference has synchronous torch.save
+    only).  Saves are non-blocking; ``wait()`` flushes before exit."""
+
+    def __init__(self, directory, max_to_keep: int = 2):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        os.makedirs(directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state):
+        self.manager.save(int(step), args=self._ocp.args.StandardSave(state_to_tree(state)))
+
+    def latest_step(self):
+        return self.manager.latest_step()
+
+    def restore_latest(self, state):
+        step = self.manager.latest_step()
+        if step is None:
+            return state, None
+        template = state_to_tree(state)
+        tree = self.manager.restore(step, args=self._ocp.args.StandardRestore(template))
+        return tree_into_state(state, tree), step
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+
 def load_into_state(state, filepath, full_restore: bool = False):
     """Non-strict merge of a checkpoint into a fresh TrainState
     (reference semantics: src/training_loop.py:78-83).

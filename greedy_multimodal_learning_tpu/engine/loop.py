@@ -97,6 +97,8 @@ def training_loop(
     resume=False,
     data_parallel=False,
     model_parallel=1,
+    orbax_dir=None,
+    orbax_max_to_keep=2,
 ):
     callbacks = list(custom_callbacks)
 
@@ -174,6 +176,20 @@ def training_loop(
         )
     )
 
+    # Optional orbax async full-state snapshots (production backend).
+    orbax = None
+    if orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+
+        orbax = OrbaxCheckpointer(
+            orbax_dir if os.path.isabs(orbax_dir) else os.path.join(save_path, orbax_dir),
+            max_to_keep=int(orbax_max_to_keep),
+        )
+        if resuming and orbax.latest_step() is not None:
+            trainer.state, restored_step = orbax.restore_latest(trainer.state)
+            logger.info("Restored orbax snapshot at epoch %s", restored_step)
+        callbacks.append(LambdaCallback(on_epoch_end=lambda epoch, logs: orbax.save(epoch, trainer.state)))
+
     trainer.train_loop(
         train,
         valid_generator=valid,
@@ -185,6 +201,8 @@ def training_loop(
         callbacks=callbacks,
         initial_epoch=initial_epoch,
     )
+    if orbax is not None:
+        orbax.wait()
     return trainer
 
 
