@@ -72,19 +72,22 @@ def measure_tpu(steps=20, warmup=5):
     batches = [make_batch(0), make_batch(1)]
     unlock = jnp.asarray(True)
 
+    # NOTE: block_until_ready is unreliable on this experimental remote
+    # backend (returns before execution finishes); a host value fetch is the
+    # only trustworthy synchronization point.
     t0 = time.perf_counter()
     for i in range(warmup):
         state, out = step(state, batches[i % 2], unlock)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, out = step(state, batches[i % 2], unlock)
-    jax.block_until_ready(out["loss"])
+    final_loss = float(out["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
     sps = TPU_BATCH * steps / dt
-    log(f"tpu: {steps} steps in {dt:.3f}s -> {sps:.1f} samples/sec (loss={float(out['loss']):.3f})")
+    log(f"tpu: {steps} steps in {dt:.3f}s -> {sps:.1f} samples/sec (loss={final_loss:.3f})")
     return sps
 
 

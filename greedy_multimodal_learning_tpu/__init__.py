@@ -29,4 +29,24 @@ from .utils.logging_utils import configure_logger
 
 configure_logger("")
 
+# Persistent XLA compilation cache: first compiles of the fused train step
+# are expensive (minutes on a remote-compile TPU backend); cached program
+# binaries make every subsequent process start in seconds.
+def _enable_compilation_cache():
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "gml_tpu_jax"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # jax unavailable or config API changed: non-fatal
+        pass
+
+
+_enable_compilation_cache()
+
 __version__ = "0.1.0"

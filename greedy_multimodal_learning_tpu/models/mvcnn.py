@@ -56,12 +56,13 @@ class MMTMMVCNN(nn.Module):
     use_pallas: bool = False
     saving_mmtm_scales: bool = False
     saving_mmtm_squeeze_array: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         n = self.num_towers
         self.towers = [
-            ResNet18Trunk(nclasses=self.nclasses, dtype=self.dtype, name=f"net_view_{i}")
+            ResNet18Trunk(nclasses=self.nclasses, dtype=self.dtype, remat=self.remat, name=f"net_view_{i}")
             for i in range(n)
         ]
         # Fusion at layer groups 2..4 (widths 128/256/512, reference
@@ -147,5 +148,6 @@ def build_model_from_config(dtype=None) -> MMTMMVCNN:
         use_pallas=mk["use_pallas"],
         saving_mmtm_scales=bool(q("saving_mmtm_scales", False)),
         saving_mmtm_squeeze_array=bool(q("saving_mmtm_squeeze_array", False)),
+        remat=bool(q("remat", False)),
         dtype=jnp.dtype(dtype_name) if isinstance(dtype_name, str) else dtype_name,
     )

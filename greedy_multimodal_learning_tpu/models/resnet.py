@@ -49,8 +49,11 @@ class ResNet18Trunk(nn.Module):
 
     nclasses: int = 40
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # per-block rematerialization: trade ~1 extra
+    # forward for O(depth) less activation memory (large-batch training)
 
     def setup(self):
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
         self.conv1 = nn.Conv(
             64,
             (7, 7),
@@ -68,8 +71,8 @@ class ResNet18Trunk(nn.Module):
             stride = 1 if li == 0 else 2
             blocks.append(
                 (
-                    BasicBlock(width, stride, downsample=(li > 0), dtype=self.dtype, name=f"layer{li + 1}_0"),
-                    BasicBlock(width, 1, downsample=False, dtype=self.dtype, name=f"layer{li + 1}_1"),
+                    block_cls(width, stride, downsample=(li > 0), dtype=self.dtype, name=f"layer{li + 1}_0"),
+                    block_cls(width, 1, downsample=False, dtype=self.dtype, name=f"layer{li + 1}_1"),
                 )
             )
         self.blocks = blocks

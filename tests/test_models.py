@@ -336,3 +336,23 @@ def test_mvcnn_three_modalities():
     )
     assert blend.shape == (2, 5)
     assert len(logits) == 3
+
+
+def test_remat_trunk_equivalence():
+    """remat=True changes memory behavior, not numerics."""
+    m1 = MMTMMVCNN(nclasses=4, num_towers=2, remat=False)
+    m2 = MMTMMVCNN(nclasses=4, num_towers=2, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 32, 32, 3))
+    variables = m1.init(jax.random.PRNGKey(0), x, train=False)
+    (b1, l1, _, _), _ = m1.apply(variables, x, train=True, valid_mask=jnp.ones((2,)), mutable=["batch_stats", "mmtm"])
+    (b2, l2, _, _), _ = m2.apply(variables, x, train=True, valid_mask=jnp.ones((2,)), mutable=["batch_stats", "mmtm"])
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5, atol=1e-6)
+
+    def loss(params, m):
+        (blend, _, _, _), _ = m.apply({**variables, "params": params}, x, train=True, valid_mask=jnp.ones((2,)), mutable=["batch_stats", "mmtm"])
+        return jnp.sum(blend ** 2)
+
+    g1 = jax.grad(loss)(variables["params"], m1)
+    g2 = jax.grad(loss)(variables["params"], m2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
