@@ -194,6 +194,7 @@ class Trainer:
             "loss": float((losses * sizes).sum() / total),
             "train_indices": np.concatenate([r["indices"] for r in records]) if records else [],
             "acc": float((np.array([o["acc"] for o in outs]) * sizes).sum() / total),
+            "_num_samples": float(total),
         }
         for i in range(self.nummodalities):
             vals = np.array([o["acc_modal"][i] for o in outs])
@@ -292,6 +293,7 @@ class Trainer:
             epoch_begin_time = timeit.default_timer()
 
             train_dict = self._train_epoch(train_generator, steps_per_epoch, callback_list)
+            train_time = timeit.default_timer() - epoch_begin_time
             val_dict = self._eval_generator(valid_generator, "val", steps=validation_steps)
             test_dict = self._eval_generator(test_generator, "test", steps=test_steps)
 
@@ -299,6 +301,8 @@ class Trainer:
                 "epoch": epoch,
                 "time": timeit.default_timer() - epoch_begin_time,
                 "epoch_begin_time": epoch_begin_time,
+                # throughput observability (new vs reference)
+                "train_samples_per_sec": float(train_dict.pop("_num_samples", 0)) / max(train_time, 1e-9),
                 **train_dict,
                 **val_dict,
                 **test_dict,
