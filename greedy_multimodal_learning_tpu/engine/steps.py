@@ -81,22 +81,9 @@ def build_train_step(
         ctrl_in = state.controller
 
         def loss_fn(params):
-            (blend, logits, _, _), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
-                x,
-                ctrl_in.curation_mode,
-                ctrl_in.caring_modality,
-                train=True,
-                valid_mask=mask,
-                mutable=["batch_stats", "mmtm"],
-            )
-            loss = blend_loss(logits, labels, mask)
-            return loss, (logits, mut)
-
-        def loss_fn_recording(params):
-            # Variant that also returns scales/squeeze maps when the model's
-            # saving flags are set (the reference records them during
-            # training too, src/framework.py:158-161).
+            # scales/squeezes are None unless the model's saving flags are
+            # set (the reference records them during training too,
+            # src/framework.py:158-161).
             (blend, logits, scales, squeezes), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
                 x,
@@ -109,13 +96,9 @@ def build_train_step(
             loss = blend_loss(logits, labels, mask)
             return loss, (logits, mut, scales, squeezes)
 
-        recording = model.saving_mmtm_scales or model.saving_mmtm_squeeze_array
-        if recording:
-            (loss, (logits, mut, scales, squeezes)), grads = jax.value_and_grad(
-                loss_fn_recording, has_aux=True
-            )(state.params)
-        else:
-            (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (logits, mut, scales, squeezes)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
 
         # BDR statistics: grads *before* the update, weights at backward time
         # (reference: src/framework.py:313-315).
@@ -136,11 +119,10 @@ def build_train_step(
             "curation_mode": ctrl.curation_mode,
             "caring_modality": ctrl.caring_modality,
         }
-        if recording:
-            if model.saving_mmtm_scales:
-                out["mmtmscales_list"] = scales
-            if model.saving_mmtm_squeeze_array:
-                out["squeezedmaps_array_list"] = squeezes
+        if model.saving_mmtm_scales:
+            out["mmtmscales_list"] = scales
+        if model.saving_mmtm_squeeze_array:
+            out["squeezedmaps_array_list"] = squeezes
         new_state = state.replace(
             params=params,
             batch_stats=mut["batch_stats"],

@@ -1,0 +1,54 @@
+"""Multi-host (multi-slice) support.
+
+Single-slice scaling rides ICI via the ('data','model') mesh
+(parallel/mesh.py).  Across slices/hosts, JAX's distributed runtime carries
+the coordination over DCN; each host feeds its process-local slice of the
+global batch.
+
+Conventions (all optional — absent env vars mean single-process):
+
+* ``GML_COORDINATOR_ADDRESS`` / ``GML_NUM_PROCESSES`` / ``GML_PROCESS_ID``
+  (or the standard JAX auto-detected cluster envs) trigger
+  ``jax.distributed.initialize`` at entry-point start,
+* :func:`global_batch_from_local` assembles a globally-sharded batch from
+  each host's local shard via ``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def maybe_initialize_distributed():
+    """Initialize jax.distributed when a coordinator is configured.
+
+    Returns True if a multi-process runtime was initialized.
+    """
+    addr = os.environ.get("GML_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    num = int(os.environ.get("GML_NUM_PROCESSES", "1"))
+    pid = int(os.environ.get("GML_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=addr, num_processes=num, process_id=pid)
+    logger.info("jax.distributed initialized: process %d/%d @ %s", pid, num, addr)
+    return True
+
+
+def global_batch_from_local(local_batch: dict, mesh) -> dict:
+    """Each host contributes its local rows of the global batch; array
+    leaves become globally-sharded jax.Arrays on the mesh's data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for key, value in local_batch.items():
+        if hasattr(value, "ndim") and value.ndim >= 1:
+            sharding = NamedSharding(mesh, P("data"))
+            out[key] = jax.make_array_from_process_local_data(sharding, value)
+        else:
+            out[key] = value
+    return out

@@ -19,7 +19,10 @@ from greedy_multimodal_learning_tpu import data as dataset
 from greedy_multimodal_learning_tpu.engine import callbacks as avail_callbacks
 from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer, training_loop
 from greedy_multimodal_learning_tpu.models import build_model_from_config
+from greedy_multimodal_learning_tpu.parallel import maybe_initialize_distributed
 from greedy_multimodal_learning_tpu.utils import gin_wrap
+
+maybe_initialize_distributed()
 
 
 @cfg.configurable
