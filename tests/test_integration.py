@@ -198,3 +198,30 @@ def test_random_controller_training(workspace):
     assert len(df) == 1
     assert np.isfinite(df["loss"]).all()
     cfg.clear_config()
+
+
+def test_train_time_recording_extras(workspace):
+    """Training with the model's saving flags on records per-batch scales
+    into the structured history (reference: src/framework.py:158-161)."""
+    import pickle
+
+    tmp, root = workspace
+    save = str(tmp / "rec_train")
+    cfg.clear_config()
+    _run_training(
+        root,
+        save,
+        ["Bias_Mitigation_Random"],
+        n_epochs=2,
+        extra="MMTM_MVCNN.saving_mmtm_scales = True",
+    )
+    with open(os.path.join(save, "history.pickle"), "rb") as f:
+        H = pickle.load(f)
+    assert "train_mmtmscales_list" in H
+    batches = H["train_mmtmscales_list"][0]
+    assert len(batches) == 3  # 10 train samples / batch 4 -> 3 batches
+    assert len(batches[0]) == 3  # mmtm positions
+    assert len(batches[0][0]) == 2  # views
+    assert batches[0][0][0].shape == (4, 128)
+    assert batches[-1][0][0].shape == (2, 128)  # final partial batch trimmed
+    cfg.clear_config()
