@@ -81,3 +81,14 @@ def test_pure_dp_mesh():
     with mesh:
         sh_state, out = step(sh_state, shard_batch(batches[0], mesh), jnp.asarray(False))
     assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp4_mesh():
+    """4-way tensor parallelism over the model axis (dims 512/256 divisible)."""
+    model, optimizer, state0, step, batches = _setup()
+    mesh = make_mesh(jax.devices()[:8], model_parallel=4)
+    sh_state = shard_train_state(state0, mesh)
+    with mesh:
+        sh_state, out = step(sh_state, shard_batch(batches[0], mesh), jnp.asarray(True))
+    assert np.isfinite(float(out["loss"]))
