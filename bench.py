@@ -56,8 +56,6 @@ def measure_tpu(steps=20, warmup=5):
     # pipeline overlaps H2D with compute; in this dev environment the TPU is
     # reached through a ~16 MB/s tunnel, so including per-step H2D would
     # benchmark the tunnel, not the framework.
-    rng = np.random.default_rng(0)
-
     def make_batch(seed):
         r = np.random.default_rng(seed)
         return jax.device_put(

@@ -82,7 +82,6 @@ class BatchPipeline:
         self.shuffle = shuffle
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
-        self._epoch = 0
 
     def __len__(self):
         """Number of batches per epoch (torch DataLoader drop_last=False)."""
@@ -125,7 +124,6 @@ class BatchPipeline:
 
     def __iter__(self):
         order = self._epoch_order()
-        self._epoch += 1
         n = len(order)
         if n == 0:
             return
