@@ -356,3 +356,39 @@ def test_remat_trunk_equivalence():
     g2 = jax.grad(loss)(variables["params"], m2)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_mmtm_seonly_matches_oracle(mmtm_setup):
+    """SEonly: per-modality independent squeeze-excitation
+    (reference src/balanced_mmtm.py:34-36,60-69)."""
+    _, _, f0, f1 = mmtm_setup
+    m = MMTM(dims=[8, 8], ratio=4.0, SEonly=True)
+    variables = m.init(jax.random.PRNGKey(3), [jnp.asarray(f0), jnp.asarray(f1)])
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    (outs, scales, _), _ = m.apply(
+        variables, [jnp.asarray(f0), jnp.asarray(f1)], return_scale=True, mutable=["mmtm"]
+    )
+    sq0 = f0.reshape(4, -1, 8).mean(1)
+    e0 = sq0 @ p["fc_squeeze_visual"]["kernel"] + p["fc_squeeze_visual"]["bias"]
+    g0 = _sigmoid(np.maximum(e0, 0) @ p["fc_visual"]["kernel"] + p["fc_visual"]["bias"])
+    np.testing.assert_allclose(np.asarray(scales[0]), g0, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[0]), f0 * g0[:, None, None, :], rtol=2e-5, atol=2e-6)
+
+
+def test_mmtm_shareweight_single_excite(mmtm_setup):
+    """shareweight: one shared excite FC for all modalities
+    (reference src/balanced_mmtm.py:40-42,103-105)."""
+    _, _, f0, f1 = mmtm_setup
+    m = MMTM(dims=[8, 8], ratio=4.0, shareweight=True)
+    variables = m.init(jax.random.PRNGKey(4), [jnp.asarray(f0), jnp.asarray(f1)])
+    assert "fc_excite" in variables["params"]
+    assert "fc_visual" not in variables["params"]
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    (_, scales, _), _ = m.apply(
+        variables, [jnp.asarray(f0), jnp.asarray(f1)], return_scale=True, mutable=["mmtm"]
+    )
+    sq = np.concatenate([f0.reshape(4, -1, 8).mean(1), f1.reshape(4, -1, 8).mean(1)], 1)
+    e = np.maximum(sq @ p["fc_squeeze"]["kernel"] + p["fc_squeeze"]["bias"], 0)
+    g = _sigmoid(e @ p["fc_excite"]["kernel"] + p["fc_excite"]["bias"])
+    np.testing.assert_allclose(np.asarray(scales[0]), g, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(scales[1]), g, rtol=2e-5, atol=2e-6)
