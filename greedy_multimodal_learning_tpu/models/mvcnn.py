@@ -131,6 +131,15 @@ def build_model_from_config(dtype=None) -> MMTMMVCNN:
     surface (reference: src/model.py:15-27 + configs/*.gin)."""
     q = lambda p, d: cfg.query("MMTM_MVCNN", p, d)
     mk = mmtm_config_kwargs()
+    if q("pretraining", False):
+        # The reference can pull torchvision ImageNet weights
+        # (src/model.py:53); in this zero-egress rebuild, pretrained trunks
+        # must be supplied as a checkpoint instead (torch_compat ingests
+        # torchvision state_dicts directly).
+        raise NotImplementedError(
+            "MMTM_MVCNN.pretraining=True: supply pretrained trunks via a checkpoint "
+            "(utils.torch_compat.state_dict_to_pytrees ingests torchvision resnet18 weights)"
+        )
     num_towers = int(q("num_views", 2))
     names = cfg.query("Bias_Mitigation_Strong", "MMTMnames", None) or list(DEFAULT_MODALITY_NAMES)
     if len(names) != num_towers:
