@@ -28,6 +28,7 @@ class MMTM3DCNN(nn.Module):
     mmtm_ratio: float = 4.0
     bug_compat: bool = False  # reference bug is 2-modality-specific
     width_multiplier: float = 1.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     saving_mmtm_scales: bool = False
     saving_mmtm_squeeze_array: bool = False
@@ -39,6 +40,7 @@ class MMTM3DCNN(nn.Module):
             ResNet3D18Trunk(
                 nclasses=self.nclasses,
                 width_multiplier=self.width_multiplier,
+                remat=self.remat,
                 dtype=self.dtype,
                 name=f"net_view_{i}",
             )

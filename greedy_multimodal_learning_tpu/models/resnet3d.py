@@ -66,9 +66,11 @@ class ResNet3D18Trunk(nn.Module):
 
     nclasses: int = 25
     width_multiplier: float = 1.0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        block_cls = nn.remat(BasicBlock3D, static_argnums=(2,)) if self.remat else BasicBlock3D
         w = lambda c: int(c * self.width_multiplier)
         self.conv1 = nn.Conv(
             w(64),
@@ -86,8 +88,8 @@ class ResNet3D18Trunk(nn.Module):
             stride = 1 if li == 0 else 2
             blocks.append(
                 (
-                    BasicBlock3D(width, stride, downsample=(li > 0), dtype=self.dtype, name=f"layer{li + 1}_0"),
-                    BasicBlock3D(width, 1, downsample=False, dtype=self.dtype, name=f"layer{li + 1}_1"),
+                    block_cls(width, stride, downsample=(li > 0), dtype=self.dtype, name=f"layer{li + 1}_0"),
+                    block_cls(width, 1, downsample=False, dtype=self.dtype, name=f"layer{li + 1}_1"),
                 )
             )
         self.blocks = blocks
