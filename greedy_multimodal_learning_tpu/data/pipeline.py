@@ -81,7 +81,15 @@ class BatchPipeline:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.prefetch = prefetch
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        # Epoch counter drives a stateless per-epoch shuffle: order is a pure
+        # function of (seed, epoch), so a resumed run replays the exact same
+        # data order an uninterrupted run would have seen.  The trainer
+        # advances it via set_epoch(); bare iteration auto-increments.
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __len__(self):
         """Number of batches per epoch (torch DataLoader drop_last=False)."""
@@ -94,9 +102,8 @@ class BatchPipeline:
 
     def _epoch_order(self) -> np.ndarray:
         if self.shuffle:
-            order = self.indices.copy()
-            self._rng.shuffle(order)
-            return order
+            rng = np.random.default_rng((self.seed, self.epoch))
+            return rng.permutation(self.indices)
         return self.indices
 
     def _collate(self, batch_indices: np.ndarray) -> dict:
@@ -123,6 +130,7 @@ class BatchPipeline:
         return {"images": imgs, "labels": labels, "indices": idxs, "mask": mask, "size": size}
 
     def __iter__(self):
+        self.epoch += 1
         order = self._epoch_order()
         n = len(order)
         if n == 0:

@@ -222,7 +222,12 @@ class CompletedStopping(Callback):
 
     def on_train_begin(self, logs):
         self.stopped_epoch = 0
-        self.counter = 0
+        self.counter = getattr(self, "_replayed_counter", 0)
+
+    def replay(self, history_values):
+        """Rebuild the counter from prior epochs' metric values (exact
+        resume support)."""
+        self._replayed_counter = sum(1 for v in history_values if v == 100)
 
     def on_epoch_end(self, epoch, logs):
         current = logs[self.monitor]
@@ -252,8 +257,24 @@ class ReduceLROnPlateau_PyTorch(Callback):
         self.eps = 1e-8
 
     def on_train_begin(self, logs):
-        self.best = float("inf")
-        self.num_bad_epochs = 0
+        self.best = getattr(self, "_replayed_best", float("inf"))
+        self.num_bad_epochs = getattr(self, "_replayed_bad", 0)
+
+    def replay(self, history_values):
+        """Rebuild best/bad-epoch counters from prior epochs' metric values
+        (exact resume support; the restored LR itself comes from the
+        checkpoint sidecar)."""
+        best, bad = float("inf"), 0
+        for v in history_values:
+            v = float(v)
+            if v < best * (1.0 - self.threshold):
+                best, bad = v, 0
+            else:
+                bad += 1
+                if bad > self.patience:
+                    bad = 0
+        self._replayed_best = best
+        self._replayed_bad = bad
 
     def on_epoch_end(self, epoch, logs):
         current = float(logs[self.metric])

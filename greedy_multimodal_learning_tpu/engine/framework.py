@@ -291,6 +291,9 @@ class Trainer:
         for epoch in range(initial_epoch, epochs + 1):
             callback_list.on_epoch_begin(epoch, {})
             epoch_begin_time = timeit.default_timer()
+            if hasattr(train_generator, "set_epoch"):
+                # stateless per-epoch shuffle: exact data order under resume
+                train_generator.set_epoch(epoch - 1)
 
             train_dict = self._train_epoch(train_generator, steps_per_epoch, callback_list)
             train_time = timeit.default_timer() - epoch_begin_time

@@ -168,6 +168,12 @@ def training_loop(
             for clbk in callbacks:
                 if isinstance(clbk, ModelCheckpoint) and clbk.save_best_only:
                     clbk.best = max(H[checkpoint_monitor])
+        # Replay host-side scheduler/stopping state from history so resumed
+        # trajectories match uninterrupted ones exactly.
+        for clbk in callbacks:
+            metric = getattr(clbk, "metric", getattr(clbk, "monitor", None))
+            if hasattr(clbk, "replay") and metric in H:
+                clbk.replay(H[metric])
 
     # last-epoch checkpoint every epoch (reference: src/training_loop.py:44-48)
     callbacks.append(

@@ -50,4 +50,16 @@ def test_resume_continues_epoch_count(tmp_path):
     assert df2["epoch"].tolist() == [1, 2, 3, 4]
     # earlier rows preserved verbatim
     np.testing.assert_allclose(df2["loss"].iloc[:2], df1["loss"], rtol=1e-6)
+
+    # exactness: an uninterrupted 5-epoch run yields the same trajectory
+    # (stateless per-epoch data shuffle + full state restore + host
+    # scheduler replay)
+    save_full = str(tmp_path / "run_full")
+    os.makedirs(save_full)
+    _bind(root, n_epochs=5)
+    train(save_full)
+    df3 = pd.read_csv(os.path.join(save_full, "history.csv"))
+    assert df3["epoch"].tolist() == [1, 2, 3, 4]
+    np.testing.assert_allclose(df2["loss"], df3["loss"], rtol=1e-5)
+    np.testing.assert_allclose(df2["val_acc"], df3["val_acc"], rtol=1e-6)
     cfg.clear_config()
