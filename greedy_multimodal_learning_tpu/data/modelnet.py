@@ -29,7 +29,7 @@ import logging
 import os
 import random
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ tree-reductions (a (L,) vector of per-leaf sums contracted with a (L, 2N)
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import timeit
 import numpy as np
 
 from .. import config as cfg
-from ..utils.logging_utils import configure_logger
 
 logger = logging.getLogger(__name__)
 

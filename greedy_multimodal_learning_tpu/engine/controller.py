@@ -31,8 +31,6 @@ a carried PRNG key.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.struct
 import jax
 import jax.numpy as jnp

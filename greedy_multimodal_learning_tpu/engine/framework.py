@@ -32,7 +32,6 @@ from . import checkpoint as ckpt
 from .callbacks import CallbackList, ProgressionCallback, ValidationProgressionCallback
 from .controller import init_controller_state
 from .steps import build_eval_step, build_train_step, make_controller_update
-from .bdr import build_group_matrix
 from .train_state import get_learning_rate, set_learning_rate
 
 logger = logging.getLogger(__name__)

@@ -29,7 +29,7 @@ forwards, src/framework.py:146-148,232-237).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ groups (reference: src/model.py:63-97).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

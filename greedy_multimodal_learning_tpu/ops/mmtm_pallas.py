@@ -27,8 +27,6 @@ models/mmtm.py.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
