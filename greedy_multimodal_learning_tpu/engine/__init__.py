@@ -7,3 +7,4 @@ from .framework import Trainer
 from .loop import evalution_loop, training_loop
 from . import callbacks
 from . import checkpoint
+from .sweep import eval_sweep, stack_variable_trees, build_sweep_eval_step
