@@ -109,3 +109,33 @@ def test_analysis_reads_torch_format_pickles(tmp_path):
         expected_v0 = full[m][train_idx].mean(0)
         np.testing.assert_allclose(weights[m + 1][0], expected_v0, rtol=1e-6)
         np.testing.assert_allclose(weights[m + 1][1], expected_v0 * 2, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_eval_cli_end_to_end(tmp_path):
+    """Train via CLI, then run the recording eval via CLI (the reference's
+    two-step workflow, README.md:20-23)."""
+    root = make_synthetic_modelnet(str(tmp_path / "data"), n_train=6, n_test=4, num_views=2, image_size=32)
+    save = str(tmp_path / "run")
+    common = [
+        "MMTM_MVCNN.nclasses=4",
+        f"get_mvdcndata.root_dir='{root}'",
+        "get_mvdcndata.specific_views=[0, 1]",
+    ]
+    _run(
+        ["train.py", save, "configs/training_random.gin",
+         "#".join(common + ["train.batch_size=4", "training_loop.n_epochs=2"])]
+    )
+    _run(
+        ["eval.py", save, "configs/recording.gin",
+         "#".join(common + [
+             "eval_.batch_size=4",
+             f"eval_.pretrained_weights_path='{os.path.join(save, 'model_best_val.pt')}'",
+         ])]
+    )
+    rec = os.path.join(save, "eval_history_batch", "history.pickle")
+    assert os.path.exists(rec)
+    with open(rec, "rb") as f:
+        H = pickle.load(f)
+    assert "test_squeezedmaps_array_list" in H
+    assert len(H["test_indices"][0]) == 6
