@@ -104,3 +104,23 @@ def test_required_raises():
         g()
     cfg.parse_config("g.x=5")
     assert g() == 5
+
+
+def test_parse_reference_config_files():
+    """The engine must parse the reference repo's original gin files
+    unchanged (full binding-surface compatibility)."""
+    refdir = "/root/reference/configs"
+    if not os.path.isdir(refdir):
+        pytest.skip("reference not mounted")
+    for name in sorted(os.listdir(refdir)):
+        cfg.clear_config()
+        cfg.parse_config_file(os.path.join(refdir, name))
+        assert cfg.CONFIG, name
+    # spot-check values from the reference's training_guided.gin
+    cfg.clear_config()
+    cfg.parse_config_file(os.path.join(refdir, "training_guided.gin"))
+    assert cfg.query("train", "batch_size") == 8
+    assert cfg.query("Bias_Mitigation_Strong", "starting_epoch") == 1
+    assert cfg.query("Bias_Mitigation_Strong", "MMTMnames") == ["visual", "skeleton"]
+    assert cfg.query("get_mvdcndata", "specific_views") == [0, 6]
+    assert cfg.query("training_loop", "n_epochs") == 300
