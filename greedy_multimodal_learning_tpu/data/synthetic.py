@@ -34,9 +34,10 @@ def make_synthetic_modelnet(
             cls = i % nclasses
             model = f"{classnames[cls]}_{split}_{i:04d}"
             meta[split].append({"classname": classnames[cls], "model": model})
-            # class-correlated patterns so a model can actually learn
+            # class-correlated patterns so a model can actually learn;
+            # brightness levels spread over [20, 220] for any nclasses
             base = rng.integers(0, 255, (num_views, image_size, image_size, 3), dtype=np.uint8)
-            base[:, : image_size // 2] = 32 + 48 * cls
+            base[:, : image_size // 2] = 20 + (cls * 200) // max(nclasses - 1, 1)
             np.save(os.path.join(root_dir, split, f"{model}.npy"), base)
             # reference files are torch-serialized with .npy suffix; np.save
             # appends .npy if missing, so write to exact name
