@@ -99,6 +99,7 @@ def training_loop(
     model_parallel=1,
     orbax_dir=None,
     orbax_max_to_keep=2,
+    checkpoint_every=1,
 ):
     callbacks = list(custom_callbacks)
 
@@ -175,10 +176,16 @@ def training_loop(
             if hasattr(clbk, "replay") and metric in H:
                 clbk.replay(H[metric])
 
-    # last-epoch checkpoint every epoch (reference: src/training_loop.py:44-48)
+    # last-epoch checkpoint (reference saves every epoch,
+    # src/training_loop.py:44-48 — checkpoint_every=1 default preserves
+    # that; raise it to amortize D2H cost on slow links)
     callbacks.append(
         LambdaCallback(
-            on_epoch_end=lambda epoch, logs: trainer.save_weights(os.path.join(save_path, "model_last_epoch.pt"))
+            on_epoch_end=lambda epoch, logs: (
+                trainer.save_weights(os.path.join(save_path, "model_last_epoch.pt"))
+                if epoch % max(int(checkpoint_every), 1) == 0
+                else None
+            )
         )
     )
 
