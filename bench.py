@@ -15,11 +15,20 @@ Prints ONE JSON line:
 """
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+# stdout must carry exactly one JSON line: route all logging to stderr
+# (the package root logger defaults to stdout).
+for _h in list(logging.getLogger().handlers):
+    logging.getLogger().removeHandler(_h)
+_h = logging.StreamHandler(sys.stderr)
+_h.setLevel(logging.INFO)
+logging.getLogger().addHandler(_h)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
