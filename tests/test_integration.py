@@ -225,3 +225,42 @@ def test_train_time_recording_extras(workspace):
     assert batches[0][0][0].shape == (4, 128)
     assert batches[-1][0][0].shape == (2, 128)  # final partial batch trimmed
     cfg.clear_config()
+
+
+def test_recording_with_partial_batch(trained):
+    """Recording with a batch size that does not divide the split: padded
+    rows must be trimmed before the argsort reorder, keeping the
+    rescale-weight averaging exact (reference: src/balanced_mmtm.py:157-206)."""
+    from eval import eval_
+    from greedy_multimodal_learning_tpu.analysis import get_rescale_weights
+
+    tmp, root, save = trained
+    cfg.clear_config()
+    cfg.parse_config_file("configs/recording.gin")
+    cfg.parse_config(
+        f"""
+        MMTM_MVCNN.nclasses = 4
+        get_mvdcndata.root_dir = '{root}'
+        get_mvdcndata.specific_views = [0, 1]
+        eval_.batch_size = 5
+        eval_.pretrained_weights_path = '{os.path.join(save, "model_best_val.pt")}'
+        """
+    )
+    save_p = str(tmp / "rec_partial")
+    os.makedirs(save_p, exist_ok=True)
+    eval_(save_p)
+
+    with open(os.path.join(save_p, "eval_history_batch", "history.pickle"), "rb") as f:
+        H = pickle.load(f)
+    batches = H["test_squeezedmaps_array_list"][0]
+    assert [b[0][0].shape[0] for b in batches] == [5, 5, 2]  # 12 samples @ batch 5
+    assert len(H["test_indices"][0]) == 12
+
+    weights = get_rescale_weights(os.path.join(save_p, "eval_history_batch"), save)
+    # cross-check vs manual mean over the training run's train indices
+    with open(os.path.join(save, "history.pickle"), "rb") as f:
+        Htrain = pickle.load(f)
+    train_idx = np.asarray(Htrain["train_indices"][0])
+    ordered = np.concatenate([b[1][1] for b in batches])[np.argsort(H["test_indices"][0])]
+    np.testing.assert_allclose(weights[2][1], ordered[train_idx].mean(0), rtol=1e-5)
+    cfg.clear_config()
