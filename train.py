@@ -65,6 +65,7 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
         jax.random.PRNGKey(seed),
         sample,
         num_modalities=model.num_towers,
+        controller_seed=seed,
     )
 
     training_loop(
