@@ -34,23 +34,26 @@ def _load_history(save_path):
 
 def get_mmtm_outputs(eval_save_path, mmtm_recorded, key):
     """Reassemble recorded squeeze maps into dataset order
-    (reference: src/balanced_mmtm.py:157-176)."""
-    his_epo = _load_history(eval_save_path)
+    (reference: src/balanced_mmtm.py:157-176).
 
-    data = []
-    for batch in his_epo[key][0]:
-        assert mmtm_recorded == len(batch)
-        for mmtmid in range(len(batch)):
-            if len(data) < mmtmid + 1:
-                data.append({})
-            for i, viewdd in enumerate(batch[mmtmid]):
-                data[mmtmid].setdefault("view_%d" % i, []).append(np.array(viewdd))
+    The recorded history nests epoch -> batch -> fusion-module -> view;
+    per (module, view) the per-batch chunks are concatenated and reordered
+    by ``argsort(test_indices)`` into dataset order.  Returns one
+    {view_id: (num_samples, C) array} dict per fusion module."""
+    recording = _load_history(eval_save_path)
 
-    order = np.argsort(np.asarray(his_epo["test_indices"][0]))
-    for mmtmid in range(len(data)):
-        for k, v in data[mmtmid].items():
-            data[mmtmid][k] = np.concatenate(v)[order]
-    return data
+    per_module = [{} for _ in range(mmtm_recorded)]
+    for batch_maps in recording[key][0]:
+        assert mmtm_recorded == len(batch_maps)
+        for module_maps, view_maps in zip(per_module, batch_maps):
+            for view_id, chunk in enumerate(view_maps):
+                module_maps.setdefault(view_id, []).append(np.array(chunk))
+
+    dataset_order = np.argsort(np.asarray(recording["test_indices"][0]))
+    return [
+        {view_id: np.concatenate(chunks)[dataset_order] for view_id, chunks in module_maps.items()}
+        for module_maps in per_module
+    ]
 
 
 def get_rescale_weights(
@@ -65,21 +68,23 @@ def get_rescale_weights(
     """Per-MMTM per-view dataset-average squeeze maps
     (reference: src/balanced_mmtm.py:179-206).  Position indices below
     ``starting_mmtmindice`` have no MMTM module and map to None."""
-    data = get_mmtm_outputs(eval_save_path, mmtmpositions - starting_mmtmindice, key)
+    modules = get_mmtm_outputs(eval_save_path, mmtmpositions - starting_mmtmindice, key)
 
-    his_ori = _load_history(training_save_path)
+    training_history = _load_history(training_save_path)
     selected_indices = np.asarray(
-        his_ori["val_indices"][0] if validation else his_ori["train_indices"][0]
+        training_history["val_indices"][0] if validation else training_history["train_indices"][0]
     )
 
     mmtm_weights = []
-    for mmtmid in range(mmtmpositions):
-        if mmtmid < starting_mmtmindice:
+    for position in range(mmtmpositions):
+        if position < starting_mmtmindice:
             mmtm_weights.append(None)
-        else:
-            weights = [
-                data[mmtmid - starting_mmtmindice][k][selected_indices].mean(0)
-                for k in sorted(data[mmtmid - starting_mmtmindice].keys())
+            continue
+        module_maps = modules[position - starting_mmtmindice]
+        mmtm_weights.append(
+            [
+                np.asarray(module_maps[view_id][selected_indices].mean(0), np.float32)
+                for view_id in sorted(module_maps)
             ]
-            mmtm_weights.append([np.asarray(w, np.float32) for w in weights])
+        )
     return mmtm_weights

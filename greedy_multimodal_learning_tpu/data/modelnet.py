@@ -101,7 +101,11 @@ class MultiviewModelNet:
         class_id = self.classnames.index(sample["classname"])
         imgs = load_view_stack(self.root_dir / self.split / f"{sample['model']}.npy")
         if self.specific_view is not None:
-            imgs = imgs[self.specific_view]
+            # native GIL-free row gather (csrc/fastio.cc); numpy fallback
+            from ..utils.native import gather_views_u8
+
+            gathered = gather_views_u8(imgs, self.specific_view)
+            imgs = gathered if gathered is not None else imgs[self.specific_view]
         item = (idx, imgs, class_id)
         if self._cache is not None:
             self._cache[idx] = item

@@ -113,6 +113,10 @@ def save_weights(state, filepath):
         "step": np.asarray(state.step),
         "rng": np.asarray(state.rng),
         "opt_hyperparams": tree_to_numpy(dict(state.opt_state.hyperparams)) if hasattr(state.opt_state, "hyperparams") else {},
+        # Full optimizer state (momentum traces etc.) so a sidecar resume is
+        # exact for train.momentum > 0 too (the reference checkpoints its
+        # optimizer state_dict, src/utils.py:107-115).
+        "opt_state": tree_to_numpy(state.opt_state) if state.opt_state is not None else None,
     }
     with open(filepath + ".jax.pkl", "wb") as f:
         pickle.dump(sidecar, f, pickle.HIGHEST_PROTOCOL)
@@ -257,11 +261,22 @@ def load_into_state(state, filepath, full_restore: bool = False):
             new_state = new_state.replace(step=np.asarray(extras["step"]))
         if "rng" in extras:
             new_state = new_state.replace(rng=np.asarray(extras["rng"]))
-        hyper = extras.get("opt_hyperparams") or {}
-        if hyper and new_state.opt_state is not None and hasattr(new_state.opt_state, "hyperparams"):
-            merged = dict(new_state.opt_state.hyperparams)
-            for k, v in hyper.items():
-                merged[k] = np.asarray(v)
-            new_state = new_state.replace(opt_state=new_state.opt_state._replace(hyperparams=merged))
+        if extras.get("opt_state") is not None and new_state.opt_state is not None:
+            # Full optimizer-state restore (momentum traces + hyperparams):
+            # the pickled tree has the same optax structure, so a
+            # leaves-into-template unflatten is exact.
+            restored = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(new_state.opt_state),
+                jax.tree_util.tree_leaves(extras["opt_state"]),
+            )
+            new_state = new_state.replace(opt_state=restored)
+        else:
+            # older sidecars: hyperparams (LR) only
+            hyper = extras.get("opt_hyperparams") or {}
+            if hyper and new_state.opt_state is not None and hasattr(new_state.opt_state, "hyperparams"):
+                merged = dict(new_state.opt_state.hyperparams)
+                for k, v in hyper.items():
+                    merged[k] = np.asarray(v)
+                new_state = new_state.replace(opt_state=new_state.opt_state._replace(hyperparams=merged))
     logger.info("Done reloading!")
     return new_state

@@ -212,7 +212,7 @@ class Trainer:
             self.stop_training = True
         return train_dict
 
-    def _eval_generator(self, generator, phase, *, steps=None):
+    def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
         if steps is None:
             steps = len(generator)
         progress = ValidationProgressionCallback(
@@ -229,16 +229,19 @@ class Trainer:
             new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
             self.state = self.state.replace(mmtm=new_mmtm)
             records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
-            progress.on_batch_end(
-                batch_ind,
-                {
-                    "batch": batch_ind,
-                    "size": size,
-                    "batch_begin_time": batch_begin_time,
-                    "loss": out["loss"],
-                    "acc": out["acc"],
-                },
-            )
+            batch_logs = {
+                "batch": batch_ind,
+                "size": size,
+                "batch_begin_time": batch_begin_time,
+                "loss": out["loss"],
+                "acc": out["acc"],
+            }
+            progress.on_batch_end(batch_ind, batch_logs)
+            # User-callback hook per validation batch.  The reference
+            # declares on_val_batch_end (src/callbacks.py:86-89,169) but
+            # never invokes it; here it actually fires.
+            if callback_list is not None and phase == "val":
+                callback_list.on_val_batch_end(batch_ind, batch_logs)
 
         outs = jax.device_get([r["out"] for r in records])
         sizes = np.array([r["size"] for r in records], np.float64)
@@ -296,7 +299,9 @@ class Trainer:
 
             train_dict = self._train_epoch(train_generator, steps_per_epoch, callback_list)
             train_time = timeit.default_timer() - epoch_begin_time
-            val_dict = self._eval_generator(valid_generator, "val", steps=validation_steps)
+            val_dict = self._eval_generator(
+                valid_generator, "val", steps=validation_steps, callback_list=callback_list
+            )
             test_dict = self._eval_generator(test_generator, "test", steps=test_steps)
 
             epoch_log = {

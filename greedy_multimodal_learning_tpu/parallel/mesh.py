@@ -81,23 +81,24 @@ def shard_batch(batch, mesh: Mesh):
 
 def shard_train_state(state, mesh: Mesh, min_shard_dim: int = 256):
     """TP-shard params (and the matching optimizer moments), replicate the
-    small state (BN stats, MMTM buffers, controller scalars)."""
+    small state (BN stats, MMTM buffers, controller scalars).
+
+    Optimizer moment leaves (momentum traces etc.) mirror parameter shapes,
+    so applying the same shape-driven rule places each trace exactly like
+    its parameter; hyperparameter scalars fall through to replication."""
+    model_size = mesh.shape["model"]
     params = shard_params(state.params, mesh, min_shard_dim)
 
-    def shard_like_params(tree):
-        # optimizer moment pytrees mirror params structurally
-        try:
-            return jax.tree_util.tree_map(
-                lambda leaf, p: jax.device_put(np.asarray(leaf), p.sharding), tree, params
-            )
-        except (ValueError, TypeError):
-            return replicate(tree, mesh)
+    def place_like_param(leaf):
+        arr = np.asarray(leaf) if not hasattr(leaf, "shape") else leaf
+        spec = param_pspec("", arr, min_shard_dim)
+        if "model" in spec and arr.shape[-1] % model_size != 0:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     opt_state = state.opt_state
     if opt_state is not None:
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), opt_state
-        )
+        opt_state = jax.tree_util.tree_map(place_like_param, opt_state)
 
     return state.replace(
         params=params,

@@ -67,6 +67,31 @@ def lib():
         return _lib
 
 
+def gather_views_u8(stack: np.ndarray, view_indices) -> np.ndarray | None:
+    """Select rows of a (V, ...) uint8 view stack (csrc gml_gather_views_u8)
+    with the GIL released; None when the native path is unavailable."""
+    L = lib()
+    if L is None or stack.dtype != np.uint8 or stack.ndim < 2 or not stack.flags["C_CONTIGUOUS"]:
+        return None
+    idx = np.ascontiguousarray(view_indices, np.int32)
+    if idx.ndim != 1 or idx.size == 0 or idx.min() < 0 or idx.max() >= stack.shape[0]:
+        return None
+    view_bytes = stack[0].nbytes
+    out = np.empty((idx.size,) + stack.shape[1:], np.uint8)
+    ptrs = (ctypes.c_void_p * 1)()
+    ptrs[0] = stack.ctypes.data
+    L.gml_gather_views_u8(
+        ptrs,
+        np.int32(1),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(idx.size),
+        np.int64(view_bytes),
+        out.ctypes.data,
+        np.int32(1),
+    )
+    return out
+
+
 def collate_u8(samples, batch_size: int) -> np.ndarray | None:
     """Gather equal-shape uint8 sample arrays into a zero-padded
     (batch_size, *shape) batch with the GIL released.  Returns None when the

@@ -44,3 +44,25 @@ def test_pipeline_uses_native_and_matches(tmp_path):
     assert b0["images"].shape == (4, 2, 8, 8, 3)
     np.testing.assert_array_equal(b0["images"][0], ds[0][1])
     np.testing.assert_array_equal(b1["images"][1:], 0)  # padded rows zeroed
+
+
+def test_gather_views_matches_numpy():
+    from greedy_multimodal_learning_tpu.utils.native import gather_views_u8, lib
+
+    rng = np.random.default_rng(0)
+    stack = rng.integers(0, 255, (12, 6, 5, 3), dtype=np.uint8)
+    for views in ([0, 6], [11, 0, 3], [2]):
+        out = gather_views_u8(stack, views)
+        if lib() is None:
+            assert out is None
+            return
+        np.testing.assert_array_equal(out, stack[views])
+
+
+def test_gather_views_rejects_bad_indices():
+    from greedy_multimodal_learning_tpu.utils.native import gather_views_u8
+
+    stack = np.zeros((4, 2, 2, 3), np.uint8)
+    assert gather_views_u8(stack, [0, 4]) is None  # out of range
+    assert gather_views_u8(stack, []) is None
+    assert gather_views_u8(stack.astype(np.float32), [0]) is None

@@ -15,9 +15,9 @@ from greedy_multimodal_learning_tpu.models import MMTMMVCNN
 from greedy_multimodal_learning_tpu.parallel import make_mesh, shard_batch, shard_train_state
 
 
-def _setup(batch=8, image=32):
+def _setup(batch=8, image=32, momentum=0.0):
     model = MMTMMVCNN(nclasses=4, num_towers=2)
-    optimizer = make_optimizer(lr=0.1)
+    optimizer = make_optimizer(lr=0.1, momentum=momentum)
     sample = jnp.zeros((batch, 2, image, image, 3), jnp.float32)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
     gm = build_group_matrix(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
@@ -37,8 +37,9 @@ def _setup(batch=8, image=32):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_step_matches_single_device():
-    model, optimizer, state0, step, batches = _setup()
+@pytest.mark.parametrize("momentum", [0.0, 0.9])
+def test_sharded_step_matches_single_device(momentum):
+    model, optimizer, state0, step, batches = _setup(momentum=momentum)
 
     # single-device reference trajectory
     s = state0
@@ -53,6 +54,17 @@ def test_sharded_step_matches_single_device():
     # sharded trajectory: dp=4 x tp=2
     mesh = make_mesh(jax.devices()[:8], model_parallel=2)
     sh_state = shard_train_state(state0, mesh)
+    if momentum:
+        # the momentum trace must be sharded like its parameters, not
+        # replicated: at least one trace leaf carries the model axis
+        from greedy_multimodal_learning_tpu.utils.pytree import tree_paths
+
+        specs = {
+            path: getattr(leaf.sharding, "spec", None)
+            for path, leaf in tree_paths(sh_state.opt_state)
+            if hasattr(leaf, "sharding") and hasattr(leaf, "ndim") and leaf.ndim >= 2
+        }
+        assert any(spec is not None and "model" in tuple(spec) for spec in specs.values()), specs
     sh_losses = []
     sh_params_1 = None
     with mesh:

@@ -6,12 +6,13 @@ import os
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from greedy_multimodal_learning_tpu import config as cfg
 from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
 
 
-def _bind(root, n_epochs, resume=False):
+def _bind(root, n_epochs, resume=False, momentum=0.0):
     cfg.clear_config()
     cfg.parse_config(
         f"""
@@ -22,6 +23,7 @@ def _bind(root, n_epochs, resume=False):
         get_mvdcndata.specific_views = [0, 1]
         train.batch_size = 4
         train.lr = 0.05
+        train.momentum = {momentum}
         train.callbacks = ['Bias_Mitigation_Strong']
         Bias_Mitigation_Strong.starting_epoch = 1
         Bias_Mitigation_Strong.epsilon = 0.01
@@ -32,19 +34,23 @@ def _bind(root, n_epochs, resume=False):
     )
 
 
-def test_resume_continues_epoch_count(tmp_path):
+# momentum=0.9 exercises the optimizer-moment restore from the .pt sidecar:
+# a resume that silently reinitialized the momentum trace would diverge from
+# the uninterrupted trajectory below.
+@pytest.mark.parametrize("momentum", [0.0, 0.9])
+def test_resume_continues_epoch_count(tmp_path, momentum):
     root = make_synthetic_modelnet(str(tmp_path / "data"), n_train=8, n_test=4, num_views=2, image_size=32)
     save = str(tmp_path / "run")
     os.makedirs(save)
     from train import train
 
-    _bind(root, n_epochs=3)
+    _bind(root, n_epochs=3, momentum=momentum)
     train(save)
     df1 = pd.read_csv(os.path.join(save, "history.csv"))
     assert df1["epoch"].tolist() == [1, 2]
 
     # resume with a larger budget: epochs 3..4 are appended
-    _bind(root, n_epochs=5, resume=True)
+    _bind(root, n_epochs=5, resume=True, momentum=momentum)
     train(save)
     df2 = pd.read_csv(os.path.join(save, "history.csv"))
     assert df2["epoch"].tolist() == [1, 2, 3, 4]
@@ -56,7 +62,7 @@ def test_resume_continues_epoch_count(tmp_path):
     # scheduler replay)
     save_full = str(tmp_path / "run_full")
     os.makedirs(save_full)
-    _bind(root, n_epochs=5)
+    _bind(root, n_epochs=5, momentum=momentum)
     train(save_full)
     df3 = pd.read_csv(os.path.join(save_full, "history.csv"))
     assert df3["epoch"].tolist() == [1, 2, 3, 4]
