@@ -78,6 +78,12 @@ def eval_(
     sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
     state = create_train_state(model, None, jax.random.PRNGKey(seed), sample, num_modalities=model.num_towers)
 
+    from greedy_multimodal_learning_tpu.models import apply_pretrained_trunks, resolve_pretrained_path
+
+    pretrained_path = resolve_pretrained_path()
+    if pretrained_path:
+        state = apply_pretrained_trunks(state, pretrained_path, model.num_towers)
+
     evalution_loop(
         model=model,
         state=state,

@@ -153,7 +153,15 @@ def get_mvdcndata(
 
     training_idx, valid_idx = reference_val_split(len(train_ds), valid_size, random_seed_for_validation)
 
+    # Multi-host: each process feeds a disjoint, equal-length slice of every
+    # split (its local rows of the global batch; parallel/multihost.py).
+    from ..parallel.multihost import process_local_indices
+
+    training_idx = process_local_indices(training_idx)
+    valid_idx = process_local_indices(valid_idx)
+    test_idx = process_local_indices(range(len(test_ds)))
+
     train_loader = BatchPipeline(train_ds, training_idx, batch_size, shuffle=True, seed=seed)
     valid_loader = BatchPipeline(train_ds, valid_idx, batch_size, shuffle=False)
-    test_loader = BatchPipeline(test_ds, list(range(len(test_ds))), batch_size, shuffle=False)
+    test_loader = BatchPipeline(test_ds, test_idx, batch_size, shuffle=False)
     return train_loader, valid_loader, test_loader

@@ -79,9 +79,15 @@ class Trainer:
         self.mesh = mesh
         if mesh is not None:
             from ..parallel import shard_batch, shard_train_state
+            from ..parallel.multihost import global_batch_from_local
 
             self.state = shard_train_state(self.state, mesh, model_parallel_min_dim)
-            self._put = lambda b: shard_batch(b, mesh)
+            if jax.process_count() > 1:
+                # multi-host: every process feeds its local rows of the
+                # global batch; leaves become globally-sharded jax.Arrays
+                self._put = lambda b: global_batch_from_local(b, mesh)
+            else:
+                self._put = lambda b: shard_batch(b, mesh)
         else:
             self._put = None
         self.metrics_names = list(metrics_names)

@@ -126,20 +126,78 @@ class MMTMMVCNN(nn.Module):
         return blend, logits, scales, squeezed_mps
 
 
+def resolve_pretrained_path():
+    """Resolve the trunk-weights source for ``MMTM_MVCNN.pretraining=True``.
+
+    The reference downloads torchvision ImageNet weights
+    (reference: src/model.py:53); this zero-egress rebuild takes a local
+    torchvision resnet18 state_dict instead, from the
+    ``MMTM_MVCNN.pretrained_weights_path`` gin binding or the
+    ``GML_PRETRAINED_RESNET18`` environment variable.  Returns None when
+    pretraining is off; raises when pretraining is requested with no
+    weights supplied."""
+    import os
+
+    if not cfg.query("MMTM_MVCNN", "pretraining", False):
+        return None
+    path = cfg.query("MMTM_MVCNN", "pretrained_weights_path", None) or os.environ.get(
+        "GML_PRETRAINED_RESNET18"
+    )
+    if not path:
+        raise NotImplementedError(
+            "MMTM_MVCNN.pretraining=True needs local torchvision resnet18 weights "
+            "(this environment cannot download them): set the gin binding "
+            "MMTM_MVCNN.pretrained_weights_path or the GML_PRETRAINED_RESNET18 env var"
+        )
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"pretrained trunk weights not found: {path}")
+    return path
+
+
+def apply_pretrained_trunks(state, path, num_towers):
+    """Load a torchvision resnet18 state_dict and merge its trunk into every
+    tower of a fresh TrainState (the reference builds each tower as
+    ``models.resnet18(pretrained=True)`` then replaces ``fc``, so all towers
+    start from the same ImageNet trunk with fresh heads,
+    reference: src/model.py:53-56)."""
+    import pickle
+
+    import numpy as np
+
+    from ..utils.torch_compat import merge_loaded_params, state_dict_to_pytrees
+
+    try:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    except ImportError:
+        with open(path, "rb") as f:
+            sd = pickle.load(f)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    trunk_p, trunk_b = state_dict_to_pytrees(sd)
+    # nclasses head stays freshly initialized (torchvision fc is 1000-way)
+    trunk_p.pop("fc", None)
+
+    new_p, new_b = dict(state.params), dict(state.batch_stats)
+    for i in range(num_towers):
+        tower = f"net_view_{i}"
+        new_p[tower] = merge_loaded_params(dict(state.params[tower]), trunk_p)
+        new_b[tower] = merge_loaded_params(dict(state.batch_stats[tower]), trunk_b)
+    import jax
+
+    as_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    return state.replace(params=as_np(new_p), batch_stats=as_np(new_b))
+
+
 def build_model_from_config(dtype=None) -> MMTMMVCNN:
     """Construct the flagship model from the reference's ``MMTM_MVCNN`` gin
     surface (reference: src/model.py:15-27 + configs/*.gin)."""
     q = lambda p, d: cfg.query("MMTM_MVCNN", p, d)
     mk = mmtm_config_kwargs()
-    if q("pretraining", False):
-        # The reference can pull torchvision ImageNet weights
-        # (src/model.py:53); in this zero-egress rebuild, pretrained trunks
-        # must be supplied as a checkpoint instead (torch_compat ingests
-        # torchvision state_dicts directly).
-        raise NotImplementedError(
-            "MMTM_MVCNN.pretraining=True: supply pretrained trunks via a checkpoint "
-            "(utils.torch_compat.state_dict_to_pytrees ingests torchvision resnet18 weights)"
-        )
+    resolve_pretrained_path()  # raises early if pretraining lacks weights
     num_towers = int(q("num_views", 2))
     names = cfg.query("Bias_Mitigation_Strong", "MMTMnames", None) or list(DEFAULT_MODALITY_NAMES)
     if len(names) != num_towers:

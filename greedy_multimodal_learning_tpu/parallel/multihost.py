@@ -39,16 +39,36 @@ def maybe_initialize_distributed():
     return True
 
 
-def global_batch_from_local(local_batch: dict, mesh) -> dict:
-    """Each host contributes its local rows of the global batch; array
-    leaves become globally-sharded jax.Arrays on the mesh's data axis."""
+def process_local_indices(indices):
+    """Disjoint per-process slice of a dataset index list for multi-host
+    input pipelines (each host feeds its local rows of the global batch).
+
+    Truncates to equal length across processes so every host dispatches the
+    same number of steps (SPMD programs deadlock on mismatched step counts).
+    Identity in single-process runs."""
+    n = jax.process_count()
+    if n <= 1:
+        return list(indices)
+    pid = jax.process_index()
+    indices = list(indices)
+    per = len(indices) // n
+    return indices[pid::n][:per]
+
+
+def _place_local(value, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    out = {}
-    for key, value in local_batch.items():
-        if hasattr(value, "ndim") and value.ndim >= 1:
-            sharding = NamedSharding(mesh, P("data"))
-            out[key] = jax.make_array_from_process_local_data(sharding, value)
-        else:
-            out[key] = value
-    return out
+    if hasattr(value, "ndim") and value.ndim >= 1:
+        return jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), value)
+    return value
+
+
+def global_batch_from_local(local_batch, mesh):
+    """Each host contributes its local rows of the global batch; array
+    leaves become globally-sharded jax.Arrays on the mesh's data axis.
+
+    Accepts a batch dict or a single array leaf (the prefetch stage in
+    data/pipeline.py applies the placement per leaf)."""
+    if isinstance(local_batch, dict):
+        return {key: _place_local(value, mesh) for key, value in local_batch.items()}
+    return _place_local(local_batch, mesh)

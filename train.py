@@ -68,6 +68,14 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
         controller_seed=seed,
     )
 
+    # MMTM_MVCNN.pretraining=True: merge local torchvision ImageNet trunks
+    # into every tower (reference: src/model.py:53-56 pulls them remotely).
+    from greedy_multimodal_learning_tpu.models import apply_pretrained_trunks, resolve_pretrained_path
+
+    pretrained_path = resolve_pretrained_path()
+    if pretrained_path:
+        state = apply_pretrained_trunks(state, pretrained_path, model.num_towers)
+
     training_loop(
         model=model,
         optimizer=optimizer,
