@@ -16,8 +16,14 @@ from HBM exactly once and written once — the speed-of-light for this op.
 The (tiny) cross-batch work (running-average update, curation select) stays
 in JAX on (B, C) gates.
 
-Backward is a custom VJP in plain JAX (same traffic as the XLA baseline:
-one read of f for d_gate, one write of d_f).
+Backward is a fused Pallas kernel too: the whole cotangent chain
+(d_gate reduction → sigmoid/ReLU/matmul chain → d_squeeze broadcast →
+d_feature) is per-sample, so one pass over a batch block computes it with
+each of do_i / f_i read exactly once and df_i written once; weight
+gradients accumulate in revisited output blocks across grid steps.  Plain
+XLA needs two passes over do_i (one for the d_gate reduction, one for the
+df elementwise), i.e. 8 large streams vs the kernel's 6.  A plain-JAX VJP
+is kept for comparison (`use_pallas_bwd=False`).
 
 2-modality, equal-dims, joint-squeeze path only (the flagship model's
 configuration); other modes fall back to the JAX implementation in
@@ -112,6 +118,126 @@ def _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, *, block_b: int, interpret:
     )(f0, f1, wsq, bsq, w0, b0, w1, b1)
 
 
+def _gating_bwd_kernel(
+    do0_ref, do1_ref, f0_ref, f1_ref, g0_ref, g1_ref, sq0_ref, sq1_ref,
+    wsq_ref, bsq_ref, w0_ref, w1_ref, dg0c_ref, dg1c_ref, dsq0c_ref, dsq1c_ref,
+    df0_ref, df1_ref, dwsq_ref, dbsq_ref, dw0_ref, db0_ref, dw1_ref, db1_ref,
+    *, total_b: int,
+):
+    """One batch block: full per-sample cotangent chain + weight-grad
+    accumulation.  All arithmetic in f32; S = spatial size.  Rows past
+    ``total_b`` (grid padding of the final block) are masked out so they
+    cannot pollute the accumulated weight gradients."""
+    do0 = do0_ref[:].astype(jnp.float32)  # (Bb, S, C)
+    do1 = do1_ref[:].astype(jnp.float32)
+    f0 = f0_ref[:].astype(jnp.float32)
+    f1 = f1_ref[:].astype(jnp.float32)
+    g0 = g0_ref[:]  # (Bb, C) f32
+    g1 = g1_ref[:]
+    S = f0.shape[1]
+    Bb = f0.shape[0]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bb, 1), 0) + pl.program_id(0) * Bb
+    valid = row < total_b  # (Bb, 1) bool
+
+    # Padded rows hold unspecified values (NaN in interpret mode): every
+    # term that feeds a cross-row reduction is where-selected to zero
+    # (0 * NaN would stay NaN).
+    def clean(x):
+        return jnp.where(valid, x, 0.0)
+
+    # d_gate: reduction over spatial (the only place f_i is needed)
+    dg0 = clean(jnp.sum(do0 * f0, axis=1) + dg0c_ref[:])
+    dg1 = clean(jnp.sum(do1 * f1, axis=1) + dg1c_ref[:])
+
+    # sigmoid backward
+    dz0 = clean(dg0 * g0 * (1.0 - g0))
+    dz1 = clean(dg1 * g1 * (1.0 - g1))
+
+    # recompute excitation pre-activation from the (tiny) squeeze residuals
+    joint = clean(jnp.concatenate([sq0_ref[:], sq1_ref[:]], axis=1))  # (Bb, 2C)
+    wsq = wsq_ref[:].astype(jnp.float32)
+    pre = jnp.dot(joint, wsq, preferred_element_type=jnp.float32) + bsq_ref[:].astype(jnp.float32)
+    e = clean(jnp.maximum(pre, 0.0))
+
+    w0 = w0_ref[:].astype(jnp.float32)
+    w1 = w1_ref[:].astype(jnp.float32)
+    de = clean(
+        (
+            jnp.dot(dz0, w0.T, preferred_element_type=jnp.float32)
+            + jnp.dot(dz1, w1.T, preferred_element_type=jnp.float32)
+        )
+        * (pre > 0.0)
+    )
+    djoint = jnp.dot(de, wsq.T, preferred_element_type=jnp.float32)
+
+    C = f0.shape[2]
+    dsq0 = djoint[:, :C] + dsq0c_ref[:]
+    dsq1 = djoint[:, C:] + dsq1c_ref[:]
+
+    # df: single elementwise pass (do_i already in VMEM)
+    df0_ref[:] = (do0 * g0[:, None, :] + dsq0[:, None, :] / S).astype(df0_ref.dtype)
+    df1_ref[:] = (do1 * g1[:, None, :] + dsq1[:, None, :] / S).astype(df1_ref.dtype)
+
+    # weight grads: accumulate into revisited output blocks
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwsq_ref[:] = jnp.zeros_like(dwsq_ref)
+        dbsq_ref[:] = jnp.zeros_like(dbsq_ref)
+        dw0_ref[:] = jnp.zeros_like(dw0_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    dwsq_ref[:] += jnp.dot(joint.T, de, preferred_element_type=jnp.float32)
+    dbsq_ref[:] += jnp.sum(de, axis=0, keepdims=True)
+    dw0_ref[:] += jnp.dot(e.T, dz0, preferred_element_type=jnp.float32)
+    db0_ref[:] += jnp.sum(dz0, axis=0, keepdims=True)
+    dw1_ref[:] += jnp.dot(e.T, dz1, preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dz1, axis=0, keepdims=True)
+
+
+def _fused_backward(do0, do1, f0, f1, g0, g1, sq0, sq1, wsq, bsq, w0, w1,
+                    dg0c, dg1c, dsq0c, dsq1c, *, block_b: int, interpret: bool):
+    B, S, C = f0.shape
+    D = wsq.shape[1]
+    grid = (pl.cdiv(B, block_b),)
+
+    batch_spec = lambda: pl.BlockSpec((block_b, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    row_spec = lambda cols: pl.BlockSpec((block_b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full_spec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, S, C), f0.dtype),      # df0
+        jax.ShapeDtypeStruct((B, S, C), f1.dtype),      # df1
+        jax.ShapeDtypeStruct((2 * C, D), jnp.float32),  # dwsq
+        jax.ShapeDtypeStruct((1, D), jnp.float32),      # dbsq
+        jax.ShapeDtypeStruct((D, C), jnp.float32),      # dw0
+        jax.ShapeDtypeStruct((1, C), jnp.float32),      # db0
+        jax.ShapeDtypeStruct((D, C), jnp.float32),      # dw1
+        jax.ShapeDtypeStruct((1, C), jnp.float32),      # db1
+    )
+    return pl.pallas_call(
+        functools.partial(_gating_bwd_kernel, total_b=B),
+        grid=grid,
+        in_specs=[
+            batch_spec(), batch_spec(), batch_spec(), batch_spec(),
+            row_spec(C), row_spec(C), row_spec(C), row_spec(C),
+            full_spec(wsq.shape), full_spec(bsq.shape),
+            full_spec(w0.shape), full_spec(w1.shape),
+            row_spec(C), row_spec(C), row_spec(C), row_spec(C),
+        ],
+        out_specs=(
+            batch_spec(), batch_spec(),
+            full_spec((2 * C, D)), full_spec((1, D)),
+            full_spec((D, C)), full_spec((1, C)),
+            full_spec((D, C)), full_spec((1, C)),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(do0, do1, f0, f1, g0, g1, sq0, sq1, wsq, bsq, w0, w1, dg0c, dg1c, dsq0c, dsq1c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_mmtm_gating(f0, f1, wsq, bsq, w0, b0, w1, b1, block_b=8, interpret=False):
     """Returns (out0, out1, sq0, sq1, g0, g1).
@@ -129,7 +255,41 @@ def _fwd(f0, f1, wsq, bsq, w0, b0, w1, b1, block_b, interpret):
     return outs, residuals
 
 
+# Fused Pallas backward by default; flip to the plain-JAX VJP (two passes
+# over the upstream cotangents) for A/B measurement.
+PALLAS_BACKWARD = True
+
+
 def _bwd(block_b, interpret, residuals, cotangents):
+    if PALLAS_BACKWARD:
+        return _bwd_pallas(block_b, interpret, residuals, cotangents)
+    return _bwd_jax(block_b, interpret, residuals, cotangents)
+
+
+def _bwd_pallas(block_b, interpret, residuals, cotangents):
+    f0, f1, wsq, bsq, w0, w1, sq0, sq1, g0, g1 = residuals
+    do0, do1, dsq0_c, dsq1_c, dg0_c, dg1_c = cotangents
+    D = wsq.shape[1]
+    df0, df1, dwsq, dbsq, dw0, db0, dw1, db1 = _fused_backward(
+        do0.astype(f0.dtype), do1.astype(f1.dtype), f0, f1, g0, g1, sq0, sq1,
+        wsq, bsq.reshape(1, D), w0, w1,
+        dg0_c.astype(jnp.float32), dg1_c.astype(jnp.float32),
+        dsq0_c.astype(jnp.float32), dsq1_c.astype(jnp.float32),
+        block_b=block_b, interpret=interpret,
+    )
+    return (
+        df0,
+        df1,
+        dwsq.astype(wsq.dtype),
+        dbsq.reshape(-1).astype(wsq.dtype),
+        dw0.astype(w0.dtype),
+        db0.reshape(-1).astype(w0.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(w1.dtype),
+    )
+
+
+def _bwd_jax(block_b, interpret, residuals, cotangents):
     f0, f1, wsq, bsq, w0, w1, sq0, sq1, g0, g1 = residuals
     do0, do1, dsq0_c, dsq1_c, dg0_c, dg1_c = cotangents
     S = f0.shape[1]

@@ -118,3 +118,28 @@ def test_mmtm_module_pallas_gradients_match():
     flat_p = jax.tree_util.tree_leaves(gp)
     for a, b in zip(flat_j, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_vjp_ragged_and_backward_ab(gating_inputs):
+    """Ragged batch (padded final block) + Pallas-vs-JAX backward A/B:
+    the fused backward kernel must match the plain-JAX VJP exactly,
+    including masked weight-gradient accumulation over grid padding."""
+    from greedy_multimodal_learning_tpu.ops import mmtm_pallas
+
+    f0, f1, *w = gating_inputs
+    args = (f0[:6], f1[:6], *w)
+
+    def loss(*a):
+        o0, o1, s0, s1, g0, g1 = fused_mmtm_gating(*a, 4, True)
+        return jnp.sum(o0 * o0) + jnp.sum(jnp.sin(o1)) + jnp.sum(g1) + 0.25 * jnp.sum(s0)
+
+    assert mmtm_pallas.PALLAS_BACKWARD  # default: fused backward
+    g_pallas = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    mmtm_pallas.PALLAS_BACKWARD = False
+    try:
+        g_jax = jax.grad(loss, argnums=tuple(range(8)))(*args)
+    finally:
+        mmtm_pallas.PALLAS_BACKWARD = True
+    for a, b in zip(g_pallas, g_jax):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
