@@ -43,7 +43,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_tpu(steps=20, warmup=5):
+def _build(batch_size):
     import jax
     import jax.numpy as jnp
 
@@ -52,31 +52,72 @@ def measure_tpu(steps=20, warmup=5):
     from greedy_multimodal_learning_tpu.engine.steps import build_train_step, make_controller_update
     from greedy_multimodal_learning_tpu.models import MMTMMVCNN
 
-    log(f"devices: {jax.devices()}")
     model = MMTMMVCNN(nclasses=NCLASSES, num_towers=2, dtype=jnp.bfloat16)
     optimizer = make_optimizer(lr=0.1)
-    sample = jnp.zeros((TPU_BATCH, 2, IMAGE, IMAGE, 3), jnp.float32)
+    sample = jnp.zeros((batch_size, 2, IMAGE, IMAGE, 3), jnp.float32)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
     gm = GroupReducer(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
     ctrl = make_controller_update("guided", 2, epsilon=0.01, curation_windowsize=5)
     step = build_train_step(model, optimizer, gm, ctrl)
+    return state, step
 
-    # Device-resident, double-buffered batches: in production the input
-    # pipeline overlaps H2D with compute; in this dev environment the TPU is
-    # reached through a ~16 MB/s tunnel, so including per-step H2D would
-    # benchmark the tunnel, not the framework.
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        return jax.device_put(
-            {
-                "images": r.integers(0, 255, (TPU_BATCH, 2, IMAGE, IMAGE, 3), dtype=np.uint8),
-                "labels": r.integers(0, NCLASSES, (TPU_BATCH,)).astype(np.int32),
-                "indices": np.arange(TPU_BATCH, dtype=np.int32),
-                "mask": np.ones((TPU_BATCH,), np.float32),
-            }
-        )
 
-    batches = [make_batch(0), make_batch(1)]
+def _host_batch(seed, batch_size):
+    r = np.random.default_rng(seed)
+    return {
+        "images": r.integers(0, 255, (batch_size, 2, IMAGE, IMAGE, 3), dtype=np.uint8),
+        "labels": r.integers(0, NCLASSES, (batch_size,)).astype(np.int32),
+        "mask": np.ones((batch_size,), np.float32),
+    }
+
+
+def measure_tpu_e2e(batch_size, steps=16, warmup=4):
+    """End-to-end throughput: fresh HOST batches each step, H2D staged
+    through the production prefetch path (data/pipeline.py device_prefetch),
+    overlap and transfer cost included (reference hot loop has its H2D
+    in-band, src/framework.py:165-169)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.data.pipeline import device_prefetch
+
+    state, step = _build(batch_size)
+    unlock = jnp.asarray(True)
+    host_batches = [_host_batch(i, batch_size) for i in range(4)]
+
+    def feed(n):
+        return itertools.islice(itertools.cycle(host_batches), n)
+
+    for batch in device_prefetch(feed(warmup), depth=2):
+        state, out = step(state, batch, unlock)
+    float(out["loss"])
+
+    t0 = time.perf_counter()
+    for batch in device_prefetch(feed(steps), depth=2):
+        state, out = step(state, batch, unlock)
+    float(out["loss"])
+    dt = time.perf_counter() - t0
+    sps = batch_size * steps / dt
+    mb = host_batches[0]["images"].nbytes / 1e6
+    log(f"e2e B={batch_size}: {steps} steps in {dt:.3f}s -> {sps:.1f} samples/sec "
+        f"({mb:.1f} MB/batch H2D in-band)")
+    return sps
+
+
+def measure_tpu(steps=20, warmup=5):
+    import jax
+    import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+    state, step = _build(TPU_BATCH)
+
+    # Device-resident, double-buffered batches: the compute-only headline
+    # (the e2e-with-input number is measured separately by measure_tpu_e2e;
+    # in this dev environment the TPU sits behind a slow tunnel, so the
+    # in-band H2D number also quantifies that link).
+    batches = [jax.device_put(_host_batch(s, TPU_BATCH)) for s in (0, 1)]
     unlock = jnp.asarray(True)
 
     # NOTE: block_until_ready is unreliable on this experimental remote
@@ -211,6 +252,12 @@ def measure_torch_cpu(steps=2):
 def main():
     tpu_sps = measure_tpu()
     try:
+        e2e_sps = measure_tpu_e2e(TPU_BATCH)
+        b8_sps = measure_tpu_e2e(TORCH_BATCH)
+    except Exception as e:  # keep the headline even if the e2e probe fails
+        log(f"e2e measurement failed: {e}")
+        e2e_sps = b8_sps = None
+    try:
         base_sps = measure_torch_cpu()
     except Exception as e:  # torch unavailable -> report raw throughput
         log(f"baseline measurement failed: {e}")
@@ -220,6 +267,11 @@ def main():
         "value": round(tpu_sps, 2),
         "unit": "samples/sec",
         "vs_baseline": round(tpu_sps / base_sps, 2) if base_sps else None,
+        # end-to-end (host pipeline + in-band H2D over the dev tunnel) and
+        # the same-batch (B=8) comparison against torch-CPU B=8
+        "e2e_samples_per_sec": round(e2e_sps, 2) if e2e_sps else None,
+        "b8_e2e_samples_per_sec": round(b8_sps, 2) if b8_sps else None,
+        "vs_baseline_same_batch_b8": round(b8_sps / base_sps, 2) if (b8_sps and base_sps) else None,
     }
     print(json.dumps(result))
 

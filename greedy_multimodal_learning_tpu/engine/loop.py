@@ -102,6 +102,7 @@ def training_loop(
     checkpoint_every=1,
 ):
     callbacks = list(custom_callbacks)
+    os.makedirs(save_path, exist_ok=True)
 
     history_csv_path = os.path.join(save_path, "history.csv")
     history_pkl_path = os.path.join(save_path, "history.pkl")
@@ -260,6 +261,7 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     )
     trainer.load_weights(pretrained_weights_path)
 
+    os.makedirs(save_path, exist_ok=True)
     history_csv_path = os.path.join(save_path, "eval_history.csv")
     history_pkl_path = os.path.join(save_path, "eval_history.pkl")
     logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
