@@ -70,8 +70,23 @@ def _gating_kernel(f0_ref, f1_ref, wsq_ref, bsq_ref, w0_ref, b0_ref, w1_ref, b1_
     g1_ref[:] = g1
 
 
+def _pick_block(requested: int, S: int, C: int, itemsize: int, n_big_blocks: int,
+                budget: int = 12 * 1024 * 1024) -> int:
+    """Largest batch-block size whose double-buffered (B_b, S, C) feature
+    blocks fit the ~16 MB VMEM (with headroom for weights/row blocks).
+    The forward streams 4 big blocks (f0, f1, out0, out1), the backward 6
+    (do0, do1, f0, f1, df0, df1)."""
+    per_row = S * C * itemsize * n_big_blocks * 2  # x2: Mosaic double-buffers
+    cap = max(1, budget // max(per_row, 1))
+    block = 1
+    while block * 2 <= min(requested, cap):
+        block *= 2
+    return block
+
+
 def _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, *, block_b: int, interpret: bool):
     B, S, C = f0.shape
+    block_b = _pick_block(block_b, S, C, f0.dtype.itemsize, 4)
     dout = wsq.shape[1]
     grid = (pl.cdiv(B, block_b),)
 
@@ -200,6 +215,7 @@ def _gating_bwd_kernel(
 def _fused_backward(do0, do1, f0, f1, g0, g1, sq0, sq1, wsq, bsq, w0, w1,
                     dg0c, dg1c, dsq0c, dsq1c, *, block_b: int, interpret: bool):
     B, S, C = f0.shape
+    block_b = _pick_block(block_b, S, C, f0.dtype.itemsize, 6)
     D = wsq.shape[1]
     grid = (pl.cdiv(B, block_b),)
 

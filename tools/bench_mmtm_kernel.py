@@ -95,11 +95,13 @@ def main():
         weights = (wsq, bsq.astype(dtype), w0, b0.astype(dtype), w1, b1.astype(dtype))
         wargs = (f0, f1) + weights
 
-        # ---- forward ----
-        xla_fwd = jax.jit(xla_gating)
-        pl_fwd = jax.jit(
-            lambda *a: fused_mmtm_gating(*a, args.block_b, False)[:2]
-        )
+        # ---- forward (scalar-reduced outputs: raw multi-MB outputs make
+        # the remote backend's per-call buffer RPCs dominate) ----
+        def reduce2(o0, o1):
+            return jnp.sum(o0.astype(jnp.float32)) + jnp.sum(o1.astype(jnp.float32))
+
+        xla_fwd = jax.jit(lambda *a: reduce2(*xla_gating(*a)))
+        pl_fwd = jax.jit(lambda *a: reduce2(*fused_mmtm_gating(*a, args.block_b, False)[:2]))
         t_xla_f = timeit_fn(xla_fwd, wargs, args.steps)
         t_pl_f = timeit_fn(pl_fwd, wargs, args.steps)
 
@@ -112,8 +114,15 @@ def main():
             o0, o1 = fused_mmtm_gating(*a, args.block_b, False)[:2]
             return jnp.sum(o0.astype(jnp.float32) * 0.5) + jnp.sum(o1.astype(jnp.float32) * 0.25)
 
-        xla_vg = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 4, 6)))
-        pl_vg = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2, 4, 6)))
+        def grad_norm(grad_fn):
+            def fn(*a):
+                gs = grad_fn(*a)
+                return sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in gs)
+
+            return jax.jit(fn)
+
+        xla_vg = grad_norm(jax.grad(loss_xla, argnums=(0, 1, 2, 4, 6)))
+        pl_vg = grad_norm(jax.grad(loss_pl, argnums=(0, 1, 2, 4, 6)))
         t_xla_b = timeit_fn(xla_vg, wargs, args.steps)
         t_pl_b = timeit_fn(pl_vg, wargs, args.steps)
 

@@ -117,9 +117,15 @@ def main():
 
         t_fwd = timeit_fn(jax.jit(fwd_only), (state.params, batch), args.steps)
 
-        # fwd+bwd without optimizer/BDR/controller
-        vg = jax.jit(lambda p, b: jax.grad(fwd_only)(p, b)["net_view_0"]["conv1"]["kernel"])
-        t_fb = timeit_fn(vg, (state.params, batch), args.steps)
+        # fwd+bwd without optimizer/BDR/controller.  Reduce over ALL grad
+        # leaves so XLA cannot dead-code-eliminate any of the backward, and
+        # the program output stays scalar (big outputs distort timing on
+        # this remote backend: every per-call output buffer is an RPC).
+        def full_grad_norm(p, b):
+            g = jax.grad(fwd_only)(p, b)
+            return sum(jnp.sum(leaf.astype(jnp.float32) ** 2) for leaf in jax.tree_util.tree_leaves(g))
+
+        t_fb = timeit_fn(jax.jit(full_grad_norm), (state.params, batch), args.steps)
 
         mfu = train_flops * B / t_step / (V5E_BF16_PEAK_TFLOPS * 1e12)
         print(
@@ -130,13 +136,16 @@ def main():
         )
 
         # conv1 isolation: actual stem conv vs channel-dense same-FLOPs conv
-        x3 = jnp.asarray(r.normal(size=(B, 112, 112, 3)), jnp.bfloat16)   # post-preprocess half-res equiv FLOPs at s2? use real: 224 input
         x224 = jnp.asarray(r.normal(size=(B, IMAGE, IMAGE, 3)), jnp.bfloat16)
         k7 = jnp.asarray(r.normal(size=(7, 7, 3, 64)) * 0.05, jnp.bfloat16)
 
+        # scalar-reduced outputs: a raw conv output (50+ MB) per call makes
+        # the remote backend's buffer management dominate the measurement
         conv1 = jax.jit(
-            lambda x, k: jax.lax.conv_general_dilated(
-                x, k, (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+            lambda x, k: jnp.sum(
+                jax.lax.conv_general_dilated(
+                    x, k, (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ).astype(jnp.float32)
             )
         )
         t_c1 = timeit_fn(conv1, (x224, k7), args.steps)
@@ -146,8 +155,10 @@ def main():
         x12 = jnp.asarray(r.normal(size=(B, 112, 112, 12)), jnp.bfloat16)
         k4 = jnp.asarray(r.normal(size=(4, 4, 12, 64)) * 0.05, jnp.bfloat16)
         conv_dense = jax.jit(
-            lambda x, k: jax.lax.conv_general_dilated(
-                x, k, (1, 1), [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+            lambda x, k: jnp.sum(
+                jax.lax.conv_general_dilated(
+                    x, k, (1, 1), [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ).astype(jnp.float32)
             )
         )
         t_cd = timeit_fn(conv_dense, (x12, k4), args.steps)
@@ -156,7 +167,7 @@ def main():
         print(
             f"  conv1 7x7s2(3ch): {t_c1*1e3:.2f} ms ({c1_flops/t_c1/1e12:.1f} TFLOP/s) | "
             f"space-to-depth comparator 4x4s1(12ch): {t_cd*1e3:.2f} ms ({cd_flops/t_cd/1e12:.1f} TFLOP/s) | "
-            f"per-tower-pair share of step: {2*2*t_c1/t_step*100:.0f}% (x2 towers x ~2 for bwd)",
+            f"2 towers x (fwd + ~2x bwd) stem share of step: {6*t_c1/t_step*100:.1f}%",
             flush=True,
         )
 
