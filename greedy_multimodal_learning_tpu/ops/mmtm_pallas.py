@@ -64,10 +64,13 @@ def _gating_kernel(f0_ref, f1_ref, wsq_ref, bsq_ref, w0_ref, b0_ref, w1_ref, b1_
 
     out0_ref[:] = (f0 * g0[:, None, :].astype(f0.dtype))
     out1_ref[:] = (f1 * g1[:, None, :].astype(f1.dtype))
-    sq0_ref[:] = sq0
-    sq1_ref[:] = sq1
-    g0_ref[:] = g0
-    g1_ref[:] = g1
+    # Row outputs are (num_blocks, Bb, C): the leading grid axis keeps the
+    # last-two block dims equal to the array dims, which Pallas TPU
+    # requires for any Bb (a (Bb, C) block needs Bb % 8 == 0 otherwise).
+    sq0_ref[0] = sq0
+    sq1_ref[0] = sq1
+    g0_ref[0] = g0
+    g1_ref[0] = g1
 
 
 def _pick_block(requested: int, S: int, C: int, itemsize: int, n_big_blocks: int,
@@ -93,8 +96,12 @@ def _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, *, block_b: int, interpret:
     def batch_spec():
         return pl.BlockSpec((block_b, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
+    nblocks = pl.cdiv(B, block_b)
+
     def row_spec(cols):
-        return pl.BlockSpec((block_b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        # (num_blocks, Bb, cols): last-two block dims == array dims, valid
+        # for any Bb (a flat (Bb, cols) block would require Bb % 8 == 0)
+        return pl.BlockSpec((1, block_b, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def full_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -102,12 +109,12 @@ def _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, *, block_b: int, interpret:
     out_shapes = (
         jax.ShapeDtypeStruct((B, S, C), f0.dtype),
         jax.ShapeDtypeStruct((B, S, C), f1.dtype),
-        jax.ShapeDtypeStruct((B, C), jnp.float32),
-        jax.ShapeDtypeStruct((B, C), jnp.float32),
-        jax.ShapeDtypeStruct((B, C), jnp.float32),
-        jax.ShapeDtypeStruct((B, C), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, block_b, C), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, block_b, C), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, block_b, C), jnp.float32),
+        jax.ShapeDtypeStruct((nblocks, block_b, C), jnp.float32),
     )
-    return pl.pallas_call(
+    out0, out1, sq0, sq1, g0, g1 = pl.pallas_call(
         _gating_kernel,
         grid=grid,
         in_specs=[
@@ -131,6 +138,8 @@ def _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, *, block_b: int, interpret:
         out_shape=out_shapes,
         interpret=interpret,
     )(f0, f1, wsq, bsq, w0, b0, w1, b1)
+    unpack = lambda r: r.reshape(nblocks * block_b, C)[:B]
+    return out0, out1, unpack(sq0), unpack(sq1), unpack(g0), unpack(g1)
 
 
 def _gating_bwd_kernel(
@@ -147,8 +156,8 @@ def _gating_bwd_kernel(
     do1 = do1_ref[:].astype(jnp.float32)
     f0 = f0_ref[:].astype(jnp.float32)
     f1 = f1_ref[:].astype(jnp.float32)
-    g0 = g0_ref[:]  # (Bb, C) f32
-    g1 = g1_ref[:]
+    g0 = g0_ref[0]  # row refs are (1, Bb, C) blocks of (nblocks, Bb, C)
+    g1 = g1_ref[0]
     S = f0.shape[1]
     Bb = f0.shape[0]
 
@@ -162,15 +171,15 @@ def _gating_bwd_kernel(
         return jnp.where(valid, x, 0.0)
 
     # d_gate: reduction over spatial (the only place f_i is needed)
-    dg0 = clean(jnp.sum(do0 * f0, axis=1) + dg0c_ref[:])
-    dg1 = clean(jnp.sum(do1 * f1, axis=1) + dg1c_ref[:])
+    dg0 = clean(jnp.sum(do0 * f0, axis=1) + dg0c_ref[0])
+    dg1 = clean(jnp.sum(do1 * f1, axis=1) + dg1c_ref[0])
 
     # sigmoid backward
     dz0 = clean(dg0 * g0 * (1.0 - g0))
     dz1 = clean(dg1 * g1 * (1.0 - g1))
 
     # recompute excitation pre-activation from the (tiny) squeeze residuals
-    joint = clean(jnp.concatenate([sq0_ref[:], sq1_ref[:]], axis=1))  # (Bb, 2C)
+    joint = clean(jnp.concatenate([sq0_ref[0], sq1_ref[0]], axis=1))  # (Bb, 2C)
     wsq = wsq_ref[:].astype(jnp.float32)
     pre = jnp.dot(joint, wsq, preferred_element_type=jnp.float32) + bsq_ref[:].astype(jnp.float32)
     e = clean(jnp.maximum(pre, 0.0))
@@ -187,8 +196,8 @@ def _gating_bwd_kernel(
     djoint = jnp.dot(de, wsq.T, preferred_element_type=jnp.float32)
 
     C = f0.shape[2]
-    dsq0 = djoint[:, :C] + dsq0c_ref[:]
-    dsq1 = djoint[:, C:] + dsq1c_ref[:]
+    dsq0 = djoint[:, :C] + dsq0c_ref[0]
+    dsq1 = djoint[:, C:] + dsq1c_ref[0]
 
     # df: single elementwise pass (do_i already in VMEM)
     df0_ref[:] = (do0 * g0[:, None, :] + dsq0[:, None, :] / S).astype(df0_ref.dtype)
@@ -217,10 +226,20 @@ def _fused_backward(do0, do1, f0, f1, g0, g1, sq0, sq1, wsq, bsq, w0, w1,
     B, S, C = f0.shape
     block_b = _pick_block(block_b, S, C, f0.dtype.itemsize, 6)
     D = wsq.shape[1]
-    grid = (pl.cdiv(B, block_b),)
+    nblocks = pl.cdiv(B, block_b)
+    grid = (nblocks,)
+
+    def to_blocks(r):  # (B, C) -> (nblocks, block_b, C), zero-padded
+        pad = nblocks * block_b - B
+        if pad:
+            r = jnp.concatenate([r, jnp.zeros((pad, r.shape[1]), r.dtype)])
+        return r.reshape(nblocks, block_b, r.shape[1])
+
+    g0, g1, sq0, sq1 = map(to_blocks, (g0, g1, sq0, sq1))
+    dg0c, dg1c, dsq0c, dsq1c = map(to_blocks, (dg0c, dg1c, dsq0c, dsq1c))
 
     batch_spec = lambda: pl.BlockSpec((block_b, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    row_spec = lambda cols: pl.BlockSpec((block_b, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row_spec = lambda cols: pl.BlockSpec((1, block_b, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full_spec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     out_shapes = (
