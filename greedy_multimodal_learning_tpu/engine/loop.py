@@ -249,7 +249,19 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     nummodalities=2,
     average_squeezemaps=None,
     mmtm_off=False,
+    data_parallel=False,
+    model_parallel=1,
 ):
+    # GSPMD scale-out for eval (mirrors training_loop's data_parallel).
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
+        logger.info("Eval data-parallel mesh: %s", dict(mesh.shape))
+
     trainer = Trainer(
         model=model,
         optimizer=None,
@@ -258,6 +270,7 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
         nummodalities=nummodalities,
         average_squeezemaps=average_squeezemaps,
         mmtm_off=mmtm_off,
+        mesh=mesh,
     )
     trainer.load_weights(pretrained_weights_path)
 

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Batch-inference (serving) entry point — new capability beyond the
+reference (which only exposes loss/accuracy evaluation).
+
+    python3 predict.py SAVE_PATH CONFIG.gin \
+        "predict_.pretrained_weights_path='RUN/model_best_val.pt'"
+
+Loads a checkpoint, runs the jitted predict step over the selected split,
+and writes ``SAVE_PATH/predictions.csv`` with one row per sample
+(index, model name, true class, predicted class, confidence) plus a
+throughput line to stdout.
+"""
+
+import logging
+import os
+import time
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+from greedy_multimodal_learning_tpu import config as cfg
+from greedy_multimodal_learning_tpu import data as dataset
+from greedy_multimodal_learning_tpu.engine import create_train_state
+from greedy_multimodal_learning_tpu.engine.framework import Trainer
+from greedy_multimodal_learning_tpu.models import build_model_from_config
+from greedy_multimodal_learning_tpu.utils import gin_wrap
+
+
+@cfg.configurable
+def predict_(
+    save_path,
+    target_data_split="test",
+    pretrained_weights_path=None,
+    batch_size=128,
+    seed=777,
+):
+    """Run inference over a split and write predictions.csv."""
+    model = build_model_from_config()
+    train_loader, val_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
+    loaders = {"test": test_loader, "train": train_loader, "val": val_loader}
+    if target_data_split not in loaders:
+        raise ValueError(f"target_data_split must be one of {sorted(loaders)}, got {target_data_split!r}")
+    target = loaders[target_data_split]
+
+    import jax.numpy as jnp
+
+    _, sample_views, _ = target.dataset[int(target.indices[0])]
+    sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
+    state = create_train_state(model, None, jax.random.PRNGKey(seed), sample, num_modalities=model.num_towers)
+
+    trainer = Trainer(model=model, optimizer=None, state=state, nummodalities=model.num_towers)
+    if pretrained_weights_path:
+        trainer.load_weights(pretrained_weights_path)
+
+    t0 = time.time()
+    out = trainer.predict(target)
+    dt = time.time() - t0
+    n = len(out["indices"])
+
+    os.makedirs(save_path, exist_ok=True)
+    csv_path = os.path.join(save_path, "predictions.csv")
+    ds = target.dataset
+    with open(csv_path, "w") as f:
+        f.write("index,model,true_class,predicted_class,confidence\n")
+        for row, idx in enumerate(out["indices"]):
+            sample_meta = ds.samples[int(idx)]
+            true_cls = sample_meta["classname"]
+            pred_cls = ds.classnames[int(out["predictions"][row])]
+            conf = float(out["probabilities"][row].max())
+            f.write(f"{int(idx)},{sample_meta['model']},{true_cls},{pred_cls},{conf:.6f}\n")
+    acc = sum(
+        ds.classnames.index(ds.samples[int(idx)]["classname"]) == int(out["predictions"][row])
+        for row, idx in enumerate(out["indices"])
+    ) / max(n, 1)
+    print(f"predict: {n} samples in {dt:.2f}s ({n / max(dt, 1e-9):.1f} samples/s), "
+          f"top-1 {100 * acc:.2f}% -> {csv_path}")
+    return csv_path
+
+
+if __name__ == "__main__":
+    gin_wrap(predict_)

@@ -53,3 +53,41 @@ def test_bf16_end_to_end(tmp_path):
     assert np.isfinite(float(step_out["loss"]))
     # params stay f32 under bf16 compute
     assert jax.tree_util.tree_leaves(state2.params)[0].dtype == jnp.float32
+
+def test_predict_cli_writes_predictions_csv(tmp_path):
+    """predict.py entry point: checkpoint -> predictions.csv (serving)."""
+    import os
+    import subprocess
+    import sys
+
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+
+    root = make_synthetic_modelnet(str(tmp_path / "d"), n_train=8, n_test=6, num_views=2, image_size=32, nclasses=4)
+    run = str(tmp_path / "run")
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    bindings = (
+        f"get_mvdcndata.root_dir='{root}'#get_mvdcndata.specific_views=[0, 1]"
+        f"#MMTM_MVCNN.nclasses=4#train.batch_size=4#training_loop.n_epochs=2"
+    )
+    r = subprocess.run([sys.executable, "train.py", run, "configs/training_random.gin", bindings],
+                       cwd=repo, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    out = str(tmp_path / "preds")
+    pb = (
+        f"predict_.pretrained_weights_path='{run}/model_best_val.pt'#predict_.batch_size=4"
+        f"#get_mvdcndata.root_dir='{root}'#get_mvdcndata.specific_views=[0, 1]#MMTM_MVCNN.nclasses=4"
+    )
+    r = subprocess.run([sys.executable, "predict.py", out, "configs/training_random.gin", pb],
+                       cwd=repo, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out, "predictions.csv"))
+    assert list(df.columns) == ["index", "model", "true_class", "predicted_class", "confidence"]
+    assert len(df) == 6  # full test split, padded rows trimmed
+    assert df["confidence"].between(0, 1).all()
+    assert sorted(df["index"]) == list(range(6))
