@@ -13,11 +13,10 @@ import jax
 logger = logging.getLogger(__name__)
 
 from greedy_multimodal_learning_tpu import config as cfg
-from greedy_multimodal_learning_tpu import data as dataset
 from greedy_multimodal_learning_tpu.analysis import get_rescale_weights
+from greedy_multimodal_learning_tpu.bootstrap import build_model_and_loaders, init_state, select_split
 from greedy_multimodal_learning_tpu.engine import callbacks as avail_callbacks
-from greedy_multimodal_learning_tpu.engine import create_train_state, evalution_loop
-from greedy_multimodal_learning_tpu.models import build_model_from_config
+from greedy_multimodal_learning_tpu.engine import evalution_loop
 from greedy_multimodal_learning_tpu.utils import gin_wrap
 
 
@@ -36,24 +35,8 @@ def eval_(
     With ``MMTM_MVCNN.mmtm_off=True`` the dataset-average squeeze maps are
     loaded via the analysis pipeline (reference: src/model.py:39-48) and the
     cross-modal flow is cut during the forward pass."""
-    if model == "MMTM_3DCNN":
-        from greedy_multimodal_learning_tpu.data.nvgesture import get_nvgesturedata
-        from greedy_multimodal_learning_tpu.models import build_3dcnn_from_config
-
-        model = build_3dcnn_from_config()
-        train_loader, val_loader, test_loader = get_nvgesturedata(batch_size=batch_size)
-    else:
-        model = build_model_from_config()
-        train_loader, val_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
-
-    if target_data_split == "test":
-        target_data = test_loader
-    elif target_data_split == "train":
-        target_data = train_loader
-    elif target_data_split == "val":
-        target_data = val_loader
-    else:
-        raise NotImplementedError
+    model, loaders = build_model_and_loaders(model, batch_size)
+    target_data = select_split(loaders, target_data_split)
 
     mmtm_off = bool(cfg.query("MMTM_MVCNN", "mmtm_off", False))
     average_squeezemaps = None
@@ -72,11 +55,7 @@ def eval_(
         if ctor is not None:
             callbacks_constructed.append(ctor())
 
-    _, sample_views, _ = target_data.dataset[int(target_data.indices[0])]
-    import jax.numpy as jnp
-
-    sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
-    state = create_train_state(model, None, jax.random.PRNGKey(seed), sample, num_modalities=model.num_towers)
+    state = init_state(model, target_data, batch_size, seed)
 
     from greedy_multimodal_learning_tpu.models import apply_pretrained_trunks, resolve_pretrained_path
 

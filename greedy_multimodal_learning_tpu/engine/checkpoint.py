@@ -261,14 +261,25 @@ def load_into_state(state, filepath, full_restore: bool = False):
             new_state = new_state.replace(step=np.asarray(extras["step"]))
         if "rng" in extras:
             new_state = new_state.replace(rng=np.asarray(extras["rng"]))
+        restored = None
         if extras.get("opt_state") is not None and new_state.opt_state is not None:
             # Full optimizer-state restore (momentum traces + hyperparams):
             # the pickled tree has the same optax structure, so a
-            # leaves-into-template unflatten is exact.
-            restored = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(new_state.opt_state),
-                jax.tree_util.tree_leaves(extras["opt_state"]),
-            )
+            # leaves-into-template unflatten is exact.  Optimizer-config
+            # drift between save and resume (e.g. momentum toggled, optax
+            # layout change) yields a different leaf count — degrade to the
+            # hyperparams-only path rather than aborting the resume.
+            try:
+                restored = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(new_state.opt_state),
+                    jax.tree_util.tree_leaves(extras["opt_state"]),
+                )
+            except (ValueError, TypeError) as e:
+                logger.warning(
+                    "checkpoint opt_state does not match the current optimizer "
+                    "(%s); restoring hyperparameters only", e
+                )
+        if restored is not None:
             new_state = new_state.replace(opt_state=restored)
         else:
             # older sidecars: hyperparams (LR) only

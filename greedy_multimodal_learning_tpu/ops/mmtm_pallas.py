@@ -286,7 +286,7 @@ def fused_mmtm_gating(f0, f1, wsq, bsq, w0, b0, w1, b1, block_b=8, interpret=Fal
 def _fwd(f0, f1, wsq, bsq, w0, b0, w1, b1, block_b, interpret):
     outs = _fused_forward(f0, f1, wsq, bsq, w0, b0, w1, b1, block_b=block_b, interpret=interpret)
     out0, out1, sq0, sq1, g0, g1 = outs
-    residuals = (f0, f1, wsq, bsq, w0, w1, sq0, sq1, g0, g1)
+    residuals = (f0, f1, wsq, bsq, w0, b0, w1, b1, sq0, sq1, g0, g1)
     return outs, residuals
 
 
@@ -302,7 +302,7 @@ def _bwd(block_b, interpret, residuals, cotangents):
 
 
 def _bwd_pallas(block_b, interpret, residuals, cotangents):
-    f0, f1, wsq, bsq, w0, w1, sq0, sq1, g0, g1 = residuals
+    f0, f1, wsq, bsq, w0, b0, w1, b1, sq0, sq1, g0, g1 = residuals
     do0, do1, dsq0_c, dsq1_c, dg0_c, dg1_c = cotangents
     D = wsq.shape[1]
     df0, df1, dwsq, dbsq, dw0, db0, dw1, db1 = _fused_backward(
@@ -316,16 +316,16 @@ def _bwd_pallas(block_b, interpret, residuals, cotangents):
         df0,
         df1,
         dwsq.astype(wsq.dtype),
-        dbsq.reshape(-1).astype(wsq.dtype),
+        dbsq.reshape(-1).astype(bsq.dtype),
         dw0.astype(w0.dtype),
-        db0.reshape(-1).astype(w0.dtype),
+        db0.reshape(-1).astype(b0.dtype),
         dw1.astype(w1.dtype),
-        db1.reshape(-1).astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
     )
 
 
 def _bwd_jax(block_b, interpret, residuals, cotangents):
-    f0, f1, wsq, bsq, w0, w1, sq0, sq1, g0, g1 = residuals
+    f0, f1, wsq, bsq, w0, b0, w1, b1, sq0, sq1, g0, g1 = residuals
     do0, do1, dsq0_c, dsq1_c, dg0_c, dg1_c = cotangents
     S = f0.shape[1]
 
@@ -372,11 +372,11 @@ def _bwd_jax(block_b, interpret, residuals, cotangents):
         df0.astype(f0.dtype),
         df1.astype(f1.dtype),
         dwsq.astype(wsq.dtype),
-        dbsq.astype(wsq.dtype),
+        dbsq.astype(bsq.dtype),
         dw0.astype(w0.dtype),
-        db0.astype(w0.dtype),
+        db0.astype(b0.dtype),
         dw1.astype(w1.dtype),
-        db1.astype(w1.dtype),
+        db1.astype(b1.dtype),
     )
 
 

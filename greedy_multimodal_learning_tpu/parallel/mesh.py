@@ -51,7 +51,7 @@ def shard_params(params, mesh: Mesh, min_shard_dim: int = 256):
     flat = dict(tree_paths(params))
 
     def place(path, leaf):
-        spec = param_pspec(path, leaf)
+        spec = param_pspec(path, leaf, min_shard_dim)
         if "model" in spec and leaf.shape[-1] % model_size != 0:
             spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))

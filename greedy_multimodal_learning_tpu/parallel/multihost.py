@@ -40,19 +40,28 @@ def maybe_initialize_distributed():
 
 
 def process_local_indices(indices):
-    """Disjoint per-process slice of a dataset index list for multi-host
-    input pipelines (each host feeds its local rows of the global batch).
+    """Per-process slice of a dataset index list for multi-host input
+    pipelines (each host feeds its local rows of the global batch).
 
-    Truncates to equal length across processes so every host dispatches the
-    same number of steps (SPMD programs deadlock on mismatched step counts).
-    Identity in single-process runs."""
+    Every process gets exactly ``ceil(len/n)`` indices so all hosts dispatch
+    the same number of steps (SPMD programs deadlock on mismatched step
+    counts).  When ``len`` is not divisible by ``n``, short slices are
+    topped up by borrowing from the front of the full list — every sample
+    is covered, at the cost of up to n-1 duplicates per epoch (documented
+    skew ≤ (n-1)/len on size-weighted metrics), rather than silently
+    dropping tail samples.  Identity in single-process runs."""
     n = jax.process_count()
-    if n <= 1:
-        return list(indices)
-    pid = jax.process_index()
     indices = list(indices)
-    per = len(indices) // n
-    return indices[pid::n][:per]
+    if n <= 1 or not indices:
+        return indices
+    pid = jax.process_index()
+    per = -(-len(indices) // n)  # ceil
+    mine = indices[pid::n]
+    fill = 0
+    while len(mine) < per:
+        mine.append(indices[fill % len(indices)])
+        fill += 1
+    return mine
 
 
 def _place_local(value, mesh):

@@ -20,10 +20,8 @@ import jax
 logger = logging.getLogger(__name__)
 
 from greedy_multimodal_learning_tpu import config as cfg
-from greedy_multimodal_learning_tpu import data as dataset
-from greedy_multimodal_learning_tpu.engine import create_train_state
+from greedy_multimodal_learning_tpu.bootstrap import build_model_and_loaders, init_state, select_split
 from greedy_multimodal_learning_tpu.engine.framework import Trainer
-from greedy_multimodal_learning_tpu.models import build_model_from_config
 from greedy_multimodal_learning_tpu.utils import gin_wrap
 
 
@@ -34,20 +32,12 @@ def predict_(
     pretrained_weights_path=None,
     batch_size=128,
     seed=777,
+    model="MMTM_MVCNN",
 ):
     """Run inference over a split and write predictions.csv."""
-    model = build_model_from_config()
-    train_loader, val_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
-    loaders = {"test": test_loader, "train": train_loader, "val": val_loader}
-    if target_data_split not in loaders:
-        raise ValueError(f"target_data_split must be one of {sorted(loaders)}, got {target_data_split!r}")
-    target = loaders[target_data_split]
-
-    import jax.numpy as jnp
-
-    _, sample_views, _ = target.dataset[int(target.indices[0])]
-    sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
-    state = create_train_state(model, None, jax.random.PRNGKey(seed), sample, num_modalities=model.num_towers)
+    model, loaders = build_model_and_loaders(model, batch_size)
+    target = select_split(loaders, target_data_split)
+    state = init_state(model, target, batch_size, seed)
 
     trainer = Trainer(model=model, optimizer=None, state=state, nummodalities=model.num_towers)
     if pretrained_weights_path:

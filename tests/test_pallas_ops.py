@@ -143,3 +143,24 @@ def test_fused_vjp_ragged_and_backward_ab(gating_inputs):
     for a, b in zip(g_pallas, g_jax):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_vjp_mixed_precision_biases(gating_inputs):
+    """bf16 kernels + f32 biases: bias cotangents must carry the bias
+    primal dtype (custom_vjp rejects dtype mismatches)."""
+    f0, f1, wsq, bsq, w0, b0, w1, b1 = gating_inputs
+    args = (
+        f0.astype(jnp.bfloat16), f1.astype(jnp.bfloat16),
+        wsq.astype(jnp.bfloat16), bsq,  # f32 bias
+        w0.astype(jnp.bfloat16), b0,
+        w1.astype(jnp.bfloat16), b1,
+    )
+
+    def loss(*a):
+        o0, o1, *_ = fused_mmtm_gating(*a, 4, True)
+        return jnp.sum(o0.astype(jnp.float32)) + jnp.sum(o1.astype(jnp.float32))
+
+    grads = jax.grad(loss, argnums=(3, 5, 7))(*args)
+    for g, primal in zip(grads, (bsq, b0, b1)):
+        assert g.dtype == primal.dtype
+        assert np.isfinite(np.asarray(g, np.float32)).all()

@@ -122,7 +122,11 @@ def main():
 
             import pandas as pd  # noqa: F401  (import check before summarize)
 
-            steps_per_epoch = 120  # 960 train samples / batch 8
+            # steps/epoch from the actual dataset: the shipped training
+            # configs use batch 8 and a 20% val split (configs/training*.gin)
+            with open(os.path.join(data, "metadata.json")) as f:
+                n_train_total = len(json.load(f)["train"])
+            steps_per_epoch = -(-int(n_train_total * 0.8) // 8)
             try:
                 summary[name] = summarize_run(run, steps_per_epoch)
                 summary[name].update(read_mmtm_off(run))

@@ -15,10 +15,9 @@ import jax
 logger = logging.getLogger(__name__)
 
 from greedy_multimodal_learning_tpu import config as cfg
-from greedy_multimodal_learning_tpu import data as dataset
+from greedy_multimodal_learning_tpu.bootstrap import build_model_and_loaders, init_state
 from greedy_multimodal_learning_tpu.engine import callbacks as avail_callbacks
-from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer, training_loop
-from greedy_multimodal_learning_tpu.models import build_model_from_config
+from greedy_multimodal_learning_tpu.engine import make_optimizer, training_loop
 from greedy_multimodal_learning_tpu.parallel import maybe_initialize_distributed
 from greedy_multimodal_learning_tpu.utils import gin_wrap
 
@@ -33,15 +32,7 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
     ``model`` selects the family: 'MMTM_MVCNN' (ModelNet40 multiview,
     the reference's model) or 'MMTM_3DCNN' (NVGesture-style 3-modality
     3D-CNN, BASELINE config 4)."""
-    if model == "MMTM_3DCNN":
-        from greedy_multimodal_learning_tpu.data.nvgesture import get_nvgesturedata
-        from greedy_multimodal_learning_tpu.models import build_3dcnn_from_config
-
-        model = build_3dcnn_from_config()
-        train_loader, valid_loader, test_loader = get_nvgesturedata(batch_size=batch_size)
-    else:
-        model = build_model_from_config()
-        train_loader, valid_loader, test_loader = dataset.get_mvdcndata(batch_size=batch_size)
+    model, (train_loader, valid_loader, test_loader) = build_model_and_loaders(model, batch_size)
 
     optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
 
@@ -53,20 +44,7 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
         if ctor is not None:
             callbacks_constructed.append(ctor())
 
-    # Sample batch for shape-driven initialization.
-    _, sample_views, _ = train_loader.dataset[int(train_loader.indices[0])]
-    import jax.numpy as jnp
-
-    sample = jnp.zeros((batch_size,) + sample_views.shape, jnp.float32)
-
-    state = create_train_state(
-        model,
-        optimizer,
-        jax.random.PRNGKey(seed),
-        sample,
-        num_modalities=model.num_towers,
-        controller_seed=seed,
-    )
+    state = init_state(model, train_loader, batch_size, seed, optimizer=optimizer)
 
     # MMTM_MVCNN.pretraining=True: merge local torchvision ImageNet trunks
     # into every tower (reference: src/model.py:53-56 pulls them remotely).
