@@ -85,7 +85,11 @@ def main():
     if not os.path.exists(os.path.join(data, "metadata.json")):
         sh([sys.executable, "tools/make_imbalanced_modelnet.py", data], os.path.join(args.workdir, "datagen.log"))
 
+    summary_path = os.path.join(args.workdir, "northstar_summary.json")
     summary = {}
+    if os.path.exists(summary_path):  # merge across driver invocations
+        with open(summary_path) as f:
+            summary = json.load(f)
     for kind, config in (("guided", "configs/training_guided.gin"), ("random", "configs/training_random.gin")):
         for seed in args.seeds:
             name = f"{kind}_s{seed}"
@@ -132,7 +136,7 @@ def main():
                 summary[name].update(read_mmtm_off(run))
             except Exception as e:  # summarize failures shouldn't kill the suite
                 summary[name] = {"error": repr(e)}
-            with open(os.path.join(args.workdir, "northstar_summary.json"), "w") as f:
+            with open(summary_path, "w") as f:
                 json.dump(summary, f, indent=2)
             print(json.dumps({name: summary[name]}, indent=2), flush=True)
 
