@@ -23,7 +23,12 @@ each of do_i / f_i read exactly once and df_i written once; weight
 gradients accumulate in revisited output blocks across grid steps.  Plain
 XLA needs two passes over do_i (one for the d_gate reduction, one for the
 df elementwise), i.e. 8 large streams vs the kernel's 6.  A plain-JAX VJP
-is kept for comparison (`use_pallas_bwd=False`).
+is kept for A/B comparison (module flag ``PALLAS_BACKWARD = False``).
+
+Measured verdict (PERF.md): in the full train step XLA's fused gating is
+4-6% faster than routing through these kernels — the custom call is a
+fusion barrier and the step is MXU-bound — so ``use_pallas`` defaults
+off; the kernels remain for hardware where that tradeoff flips.
 
 2-modality, equal-dims, joint-squeeze path only (the flagship model's
 configuration); other modes fall back to the JAX implementation in
