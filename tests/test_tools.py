@@ -46,3 +46,48 @@ def test_prepare_modelnet40(tmp_path):
     ds = MultiviewModelNet(str(out), "train", specific_view=[0, 2])
     idx, imgs, cls = ds[0]
     assert imgs.shape == (2, 8, 8, 3)
+
+
+def test_analyze_northstar_statistics(tmp_path):
+    """Permutation test + U statistic sanity on the suite analyzer."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    try:
+        from analyze_northstar import mann_whitney_u, permutation_pvalue
+    finally:
+        sys.path.pop(0)
+
+    # fully separated groups of 4: the only assignment at least as extreme
+    # as observed is the observed one (and its mirror) -> p = 2/C(8,4)
+    a, b = [10.0, 11.0, 12.0, 13.0], [1.0, 2.0, 3.0, 4.0]
+    assert abs(permutation_pvalue(a, b) - 2 / 70) < 1e-12
+    u, auc = mann_whitney_u(a, b)
+    assert u == 16.0 and auc == 1.0
+
+    # identical groups: every assignment ties the observed statistic -> p = 1
+    assert permutation_pvalue([5.0, 5.0], [5.0, 5.0]) == 1.0
+    _, auc = mann_whitney_u([5.0, 5.0], [5.0, 5.0])
+    assert auc == 0.5
+
+    # CLI runs end-to-end on a miniature summary
+    summary = {
+        "guided_s1": {"epochs_run": 10, "best_val_epoch": 5, "best_val_acc": 100.0,
+                      "test_acc": 99.0, "test_acc_modal_0": 99.0, "test_acc_modal_1": 50.0,
+                      "final_train_acc": 100.0, "final_train_acc_modal_0": 100.0,
+                      "final_train_acc_modal_1": 95.0, "steps_to_90_top1": 600,
+                      "mean_train_samples_per_sec": 80.0, "flowoff_test_acc": 99.0,
+                      "flowoff_test_acc_modal_0": 99.0, "flowoff_test_acc_modal_1": 30.0},
+        "random_s1": {"epochs_run": 12, "best_val_epoch": 6, "best_val_acc": 100.0,
+                      "test_acc": 99.5, "test_acc_modal_0": 99.5, "test_acc_modal_1": 90.0,
+                      "final_train_acc": 100.0, "final_train_acc_modal_0": 100.0,
+                      "final_train_acc_modal_1": 93.0, "steps_to_90_top1": 840,
+                      "mean_train_samples_per_sec": 80.0, "flowoff_test_acc": 99.5,
+                      "flowoff_test_acc_modal_0": 99.5, "flowoff_test_acc_modal_1": 15.0},
+    }
+    p = tmp_path / "summary.json"
+    p.write_text(json.dumps(summary))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "tools/analyze_northstar.py", str(p)],
+                       cwd=repo, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "flow-off weak-modality" in r.stdout
+    assert "| guided s1 |" in r.stdout and "| random s1 |" in r.stdout

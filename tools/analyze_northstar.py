@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Summarize a north-star suite (tools/run_northstar.py) with statistics.
+
+Reads <workdir>/northstar_summary.json (any number of seeds per arm) and
+prints the RESULTS.md evidence tables plus significance tests for the two
+headline comparisons from the reference's claim (README.md:12-23):
+
+  * conditional utilization rate of the weak modality (flow-off test
+    accuracy of modality 1) — guided vs random,
+  * steps-to-90%-top-1 — guided vs random.
+
+Significance is an exact two-sided permutation test on the difference of
+arm means (all C(n0+n1, n0) label assignments when feasible), which is
+assumption-free at these sample sizes; the rank-based Mann-Whitney U is
+reported alongside.
+
+Usage:  python3 tools/analyze_northstar.py SUMMARY.json
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+
+import numpy as np
+
+
+def permutation_pvalue(a, b):
+    """Exact two-sided permutation test on |mean(a) - mean(b)|."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    pooled = np.concatenate([a, b])
+    observed = abs(a.mean() - b.mean())
+    n = len(a)
+    count = total = 0
+    for idx in itertools.combinations(range(len(pooled)), n):
+        mask = np.zeros(len(pooled), bool)
+        mask[list(idx)] = True
+        stat = abs(pooled[mask].mean() - pooled[~mask].mean())
+        count += stat >= observed - 1e-12
+        total += 1
+    return count / total
+
+
+def mann_whitney_u(a, b):
+    """U statistic for 'a > b' with midranks; returns (U, AUC)."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    u = sum(float((x > b).sum()) + 0.5 * float((x == b).sum()) for x in a)
+    return u, u / (len(a) * len(b))
+
+
+def arm(summary, kind):
+    runs = {k: v for k, v in sorted(summary.items()) if k.startswith(kind + "_s") and "error" not in v}
+    return runs
+
+
+def fmt(vals, nd=4):
+    return ", ".join(f"{v:.{nd}g}" if isinstance(v, float) else str(v) for v in vals)
+
+
+def main():
+    with open(sys.argv[1]) as f:
+        summary = json.load(f)
+    guided, random_ = arm(summary, "guided"), arm(summary, "random")
+    print(f"runs: {len(guided)} guided, {len(random_)} random\n")
+
+    for label, key, better in (
+        ("flow-off weak-modality test acc (conditional utilization)", "flowoff_test_acc_modal_1", "higher"),
+        ("steps to 90% top-1", "steps_to_90_top1", "lower"),
+        ("epochs to CompletedStopping", "epochs_run", "lower"),
+        ("test top-1 @ best val", "test_acc", "higher"),
+    ):
+        g = [r[key] for r in guided.values() if r.get(key) is not None]
+        r = [r[key] for r in random_.values() if r.get(key) is not None]
+        if not g or not r:
+            continue
+        p = permutation_pvalue(g, r)
+        u, auc = mann_whitney_u(g, r)
+        print(f"## {label}  ({better} is better)")
+        print(f"  guided ({len(g)}): {fmt(sorted(g))}   mean {np.mean(g):.4g}")
+        print(f"  random ({len(r)}): {fmt(sorted(r))}   mean {np.mean(r):.4g}")
+        print(f"  mean diff {np.mean(g) - np.mean(r):+.4g}; exact permutation p = {p:.4g}; "
+              f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})\n")
+
+    print("## per-run table (markdown)")
+    print("| run | epochs | test top-1 @best-val | test weak @best-val (flow on) | final train weak | flow-off weak | steps→90% |")
+    print("|---|---:|---:|---:|---:|---:|---:|")
+    for name, r in list(guided.items()) + list(random_.items()):
+        print(f"| {name.replace('_s', ' s')} | {r['epochs_run']} | {r['test_acc']:g} | "
+              f"{r['test_acc_modal_1']:g} | {r['final_train_acc_modal_1']:.3g} | "
+              f"{r['flowoff_test_acc_modal_1']:g} | {r['steps_to_90_top1']} |")
+
+
+if __name__ == "__main__":
+    main()
