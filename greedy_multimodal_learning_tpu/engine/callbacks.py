@@ -369,7 +369,12 @@ class ProgressionCallback(Callback):
     src/callbacks.py:455-517), throttled so rendering never forces a device
     sync more than a few times per second."""
 
-    def __init__(self, other_metrics=("acc_modal_0", "acc_modal_1"), min_render_interval=0.25):
+    # Rendering a progress line forces a blocking device fetch per metric;
+    # on a remote/tunneled backend each fetch costs up to ~1 s, so a short
+    # interval makes slow steps render (and sync) EVERY step — a
+    # self-sustaining slowdown.  2 s keeps the line live while bounding the
+    # sync overhead to a small fraction of the loop.
+    def __init__(self, other_metrics=("acc_modal_0", "acc_modal_1"), min_render_interval=2.0):
         self.other_metrics = list(other_metrics)
         self.min_render_interval = min_render_interval
         self._last_render = 0.0
@@ -437,7 +442,7 @@ class ProgressionCallback(Callback):
 class ValidationProgressionCallback(Callback):
     """Per-phase eval progress lines (reference: src/callbacks.py:519-557)."""
 
-    def __init__(self, phase, metrics_names, steps=None, min_render_interval=0.25):
+    def __init__(self, phase, metrics_names, steps=None, min_render_interval=2.0):
         self.params = {"steps": steps, "phase": phase}
         self.metrics = metrics_names
         self.min_render_interval = min_render_interval

@@ -232,17 +232,18 @@ def load_into_state(state, filepath, full_restore: bool = False):
     step, data RNG and optimizer hyperparameters from the sidecar — exact
     resume, a capability the reference lacks (SURVEY §5)."""
     params, batch_stats, extras = load_pretrained(filepath)
-    target_p = tree_to_numpy(state.params)
-    target_b = tree_to_numpy(state.batch_stats)
-    merged_p = merge_loaded_params(target_p, params)
-    merged_b = merge_loaded_params(target_b, batch_stats)
-    new_state = state.replace(
-        params=jax.tree_util.tree_map(np.asarray, merged_p),
-        batch_stats=jax.tree_util.tree_map(np.asarray, merged_b),
-    )
+    # Merge the loaded host arrays INTO the device-resident state: leaves
+    # present in the checkpoint become host numpy (device_put on next step
+    # dispatch); absent leaves keep their freshly-initialized *device*
+    # arrays untouched.  The previous approach fetched the whole fresh
+    # state to host first — ~90 MB of serial D2H per load, minutes on a
+    # tunneled backend, for values that were about to be overwritten.
+    merged_p = merge_loaded_params(state.params, params)
+    merged_b = merge_loaded_params(state.batch_stats, batch_stats)
+    new_state = state.replace(params=merged_p, batch_stats=merged_b)
     if extras is not None and extras.get("mmtm"):
-        merged_m = merge_loaded_params(tree_to_numpy(state.mmtm), extras["mmtm"])
-        new_state = new_state.replace(mmtm=jax.tree_util.tree_map(np.asarray, merged_m))
+        merged_m = merge_loaded_params(state.mmtm, extras["mmtm"])
+        new_state = new_state.replace(mmtm=merged_m)
     if full_restore and extras is not None:
         c = extras.get("controller")
         if c:

@@ -227,14 +227,21 @@ class Trainer:
         progress.set_model_pytoune(self)
         records = []
         avg_maps = self.average_squeezemaps
+        # Phase attribution (data-wait / dispatch / render) logged at debug
+        # level: on remote backends a slow eval loop is usually one of these
+        # three and the split identifies which without a profiler.
+        t_data = t_dispatch = t_render = 0.0
+        t_mark = timeit.default_timer()
         for batch_ind, batch in _get_step_iterator(steps, generator, put=self._put):
             batch_begin_time = timeit.default_timer()
+            t_data += batch_begin_time - t_mark
             progress.on_batch_begin(batch_ind, {})
             size = batch.pop("size")
             indices = batch.pop("indices")
             new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
             self.state = self.state.replace(mmtm=new_mmtm)
             records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
+            t_dispatch += timeit.default_timer() - batch_begin_time
             batch_logs = {
                 "batch": batch_ind,
                 "size": size,
@@ -248,8 +255,15 @@ class Trainer:
             # never invokes it; here it actually fires.
             if callback_list is not None and phase == "val":
                 callback_list.on_val_batch_end(batch_ind, batch_logs)
+            t_mark = timeit.default_timer()
+            t_render += t_mark - batch_begin_time
 
+        t_fetch0 = timeit.default_timer()
         outs = jax.device_get([r["out"] for r in records])
+        logger.info(
+            "%s pass timing: data-wait %.1fs, dispatch %.1fs, render+hooks %.1fs, final fetch %.1fs",
+            phase, t_data, t_dispatch, max(t_render - t_dispatch, 0.0), timeit.default_timer() - t_fetch0,
+        )
         sizes = np.array([r["size"] for r in records], np.float64)
         total = max(sizes.sum(), 1.0)
         losses = np.array([o["loss"] for o in outs], np.float64)

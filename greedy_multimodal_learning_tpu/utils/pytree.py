@@ -9,7 +9,16 @@ import numpy as np
 
 def tree_to_numpy(tree):
     """Device pytree -> host numpy pytree (torch_to_numpy analogue,
-    reference: src/utils.py:121-126)."""
+    reference: src/utils.py:121-126).
+
+    All device->host copies are started asynchronously before the first
+    blocking conversion: on a remote/tunneled TPU backend every *serial*
+    fetch pays the full link round-trip (~1 s measured on this dev tunnel,
+    ~230 leaves = minutes per checkpoint), whereas overlapped copies cost
+    one round-trip total."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
 
 

@@ -122,7 +122,12 @@ def merge_loaded_params(target, loaded):
             else:
                 if tuple(np.shape(out[k])) != tuple(np.shape(v)):
                     raise ValueError(f"shape mismatch at {prefix + k}: {np.shape(out[k])} vs {np.shape(v)}")
-                out[k] = np.asarray(v, dtype=np.asarray(out[k]).dtype)
+                # dtype read off the target leaf directly: materializing a
+                # device-resident target via np.asarray would trigger a
+                # serial D2H fetch per leaf (minutes per checkpoint on a
+                # tunneled backend); device targets stay untouched.
+                dtype = out[k].dtype if hasattr(out[k], "dtype") else np.asarray(out[k]).dtype
+                out[k] = np.asarray(v, dtype=dtype)
         return out
 
     return merge(target, loaded)
