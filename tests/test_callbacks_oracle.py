@@ -156,3 +156,54 @@ def test_nan_loss_aborts_training(tmp_path):
         callbacks=[LambdaCallback(on_epoch_end=lambda epoch, logs: epochs_seen.append(epoch))],
     )
     assert epochs_seen == [1]  # aborted after the NaN epoch, not 5
+
+
+class _FakeWrapper:
+    """Records save_weights calls (stand-in for the Trainer handle the
+    reference's ModelCheckpoint drives, src/callbacks.py:426-452)."""
+
+    def __init__(self):
+        self.saves = []
+
+    def save_weights(self, filepath):
+        self.saves.append(filepath)
+
+
+def _ckpt(monitor, mode="auto", **kw):
+    from greedy_multimodal_learning_tpu.engine.callbacks import ModelCheckpoint
+
+    cb = ModelCheckpoint("out.pt", monitor=monitor, mode=mode, save_best_only=True, **kw)
+    cb.model_pytoune = _FakeWrapper()
+    return cb
+
+
+def test_model_checkpoint_auto_mode_inference():
+    """auto mode: 'acc' monitors maximize, everything else minimizes
+    (reference: src/callbacks.py:398-413)."""
+    acc = _ckpt("val_acc")
+    for epoch, v in enumerate([10.0, 30.0, 20.0, 30.0, 31.0], 1):
+        acc.on_epoch_end(epoch, {"val_acc": v})
+    # saves only on STRICT improvement: 10, 30, 31
+    assert len(acc.model_pytoune.saves) == 3
+
+    loss = _ckpt("val_loss")
+    for epoch, v in enumerate([5.0, 4.0, 4.5, 4.0], 1):
+        loss.on_epoch_end(epoch, {"val_loss": v})
+    assert len(loss.model_pytoune.saves) == 2  # 5, 4
+
+
+def test_model_checkpoint_missing_metric_skips():
+    cb = _ckpt("val_acc")
+    cb.on_epoch_end(1, {"other": 1.0})
+    assert cb.model_pytoune.saves == []
+    # unaffected best: a later real value still saves
+    cb.on_epoch_end(2, {"val_acc": 1.0})
+    assert len(cb.model_pytoune.saves) == 1
+
+
+def test_model_checkpoint_period():
+    cb = _ckpt("val_acc", period=2)
+    for epoch, v in enumerate([1.0, 2.0, 3.0, 4.0], 1):
+        cb.on_epoch_end(epoch, {"val_acc": v})
+    # only epochs 2 and 4 are eligible
+    assert len(cb.model_pytoune.saves) == 2
