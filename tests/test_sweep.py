@@ -39,3 +39,42 @@ def test_eval_sweep_matches_sequential(tmp_path):
         np.testing.assert_allclose(res["acc_modal_0"], seq["test_acc_modal_0"], rtol=1e-5)
     # different checkpoints yield different numbers (sanity)
     assert swept[0]["loss"] != swept[1]["loss"]
+
+
+def test_eval_sweep_cli(tmp_path):
+    """eval_sweep.py entry: K checkpoints -> sweep.csv in one data pass."""
+    import os
+    import subprocess
+    import sys
+
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+
+    root = make_synthetic_modelnet(str(tmp_path / "d"), n_train=8, n_test=6, num_views=2, image_size=32, nclasses=4)
+    run = str(tmp_path / "run")
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    bindings = (
+        f"get_mvdcndata.root_dir='{root}'#get_mvdcndata.specific_views=[0, 1]"
+        f"#MMTM_MVCNN.nclasses=4#train.batch_size=4#training_loop.n_epochs=2"
+    )
+    r = subprocess.run([sys.executable, "train.py", run, "configs/training_random.gin", bindings],
+                       cwd=repo, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    out = str(tmp_path / "sweep")
+    sb = (
+        f"eval_sweep_.checkpoints=['{run}/model_best_val.pt', '{run}/model_last_epoch.pt']"
+        f"#eval_sweep_.batch_size=4"
+        f"#get_mvdcndata.root_dir='{root}'#get_mvdcndata.specific_views=[0, 1]#MMTM_MVCNN.nclasses=4"
+    )
+    r = subprocess.run([sys.executable, "eval_sweep.py", out, "configs/training_random.gin", sb],
+                       cwd=repo, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out, "sweep.csv"))
+    assert len(df) == 2  # one row per checkpoint
+    assert {"checkpoint", "loss", "acc", "acc_modal_0", "acc_modal_1"} <= set(df.columns)
+    assert df["acc"].between(0, 100).all()
