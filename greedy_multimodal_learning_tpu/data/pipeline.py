@@ -144,18 +144,40 @@ class BatchPipeline:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer gone: unblock + end the producer
+        failure = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for s in starts:
-                    q.put(self._collate(order[s : s + self.batch_size]))
+                    if not _put(self._collate(order[s : s + self.batch_size])):
+                        return
+            except BaseException as e:  # surfaced to the consumer below
+                failure.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Early consumer exit (steps < len(self)) or generator close:
+            # release the producer so it does not stay blocked on a full
+            # queue holding prefetched batches for the rest of the process.
+            stop.set()
+        if failure:
+            raise RuntimeError("BatchPipeline producer thread failed") from failure[0]

@@ -109,6 +109,19 @@ class Trainer:
         from .bdr import GroupReducer
 
         group_matrix = GroupReducer(state.params, branchnames, mmtm_names)
+        if controller_kind == "guided":
+            # An empty parameter group (typo'd branch/modality name, or a
+            # model whose tower names don't match) would make the BDR ratio
+            # 0/0 = NaN and silently disable curation for the whole run —
+            # fail loudly instead.
+            col_counts = group_matrix.matrix.sum(axis=0)
+            if (col_counts == 0).any():
+                names = [f"main:{b}" for b in branchnames] + [f"bypass:{m}" for m in mmtm_names]
+                empty = [names[i] for i in np.flatnonzero(col_counts == 0)]
+                raise ValueError(
+                    f"guided controller: no parameters matched group(s) {empty}; "
+                    f"check branchnames/mmtm_names against the parameter tree"
+                )
         ctrl_update = make_controller_update(controller_kind, nummodalities, **{
             k: v for k, v in self.controller_config.items() if k in ("epsilon", "curation_windowsize")
         })
@@ -131,7 +144,12 @@ class Trainer:
             self._skip_next_controller_reset = False
             return
         n = self.state.controller.M_main.shape[0]
-        self.state = self.state.replace(controller=init_controller_state(n))
+        fresh = init_controller_state(n)
+        # Keep the carried PRNG key: init_controller_state would reseed it
+        # to key 0, making every random-ablation run draw the identical
+        # curation sequence regardless of the configured controller_seed.
+        fresh = fresh.replace(rng=self.state.controller.rng)
+        self.state = self.state.replace(controller=fresh)
         self._unlock = False
 
     def unlock_controller(self):
@@ -219,6 +237,8 @@ class Trainer:
         return train_dict
 
     def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
+        if generator is None:  # train-only runs: no val/test pass, no keys
+            return {}
         if steps is None:
             steps = len(generator)
         progress = ValidationProgressionCallback(
@@ -303,7 +323,8 @@ class Trainer:
         initial_epoch=1,
     ):
         callback_list = CallbackList(list(callbacks))
-        callback_list.append(ProgressionCallback())
+        if self.verbose:
+            callback_list.append(ProgressionCallback())
         callback_list.set_model_pytoune(self)
         callback_list.set_params({"epochs": epochs, "steps": steps_per_epoch})
 
@@ -355,7 +376,7 @@ class Trainer:
         for _, batch in _get_step_iterator(steps, generator, put=self._put):
             size = batch.pop("size")
             indices = batch.pop("indices")
-            _, out = self._predict_step(self.state, batch)
+            _, out = self._predict_step(self.state, batch, self.average_squeezemaps)
             all_idx.append(np.asarray(indices)[:size])
             all_logits.append([np.asarray(l)[:size] for l in out])
         logits = [np.concatenate([b[v] for b in all_logits]) for v in range(self.nummodalities)]
@@ -376,14 +397,20 @@ class Trainer:
             from ..data.transforms import preprocess as _pre
 
             model = self.model
+            mmtm_off = self.mmtm_off
 
-            def fn(state, batch):
+            def fn(state, batch, average_squeezemaps):
+                # Same network configuration as the eval step: an ablation
+                # Trainer (mmtm_off / average squeeze maps) must predict
+                # through the identical graph its metrics come from.
                 x = _pre(batch["images"], train=False, dtype=model.dtype)
                 (blend, logits, _, _), mut = model.apply(
                     {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
                     x,
                     train=False,
                     valid_mask=batch["mask"],
+                    mmtm_off=mmtm_off,
+                    average_squeezemaps=average_squeezemaps,
                     mutable=["mmtm"],
                 )
                 return mut["mmtm"], logits

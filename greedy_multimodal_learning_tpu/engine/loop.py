@@ -54,6 +54,9 @@ def _construct_default_callbacks(H, save_path, checkpoint_monitor, save_with_str
         ModelCheckpoint(
             monitor=checkpoint_monitor,
             save_best_only=True,
+            # hardcoded max regardless of the monitored metric's direction —
+            # reference parity (src/training_loop.py:39-42); pass a custom
+            # ModelCheckpoint callback for min-mode monitors.
             mode="max",
             filepath=os.path.join(save_path, "model_best_val.pt"),
         ),
@@ -123,6 +126,10 @@ def training_loop(
         initial_epoch = int(df["epoch"].iloc[-1]) + 1
         logger.info("Resuming from %s at epoch %d", last_ckpt, initial_epoch)
     else:
+        # Removes "history.pkl" while save_history writes "history.pickle"
+        # — the reference's own filename mismatch, kept deliberately
+        # (src/training_loop.py:100-105 vs :65-67): a stale structured
+        # pickle from a prior run survives exactly as it does there.
         logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
         _remove_stale([history_pkl_path, history_csv_path])
     # quirk #2 reproduced: structured pickle iff custom callbacks present.
@@ -166,7 +173,45 @@ def training_loop(
 
         trainer.state = ckpt_mod.load_into_state(trainer.state, last_ckpt, full_restore=True)
         trainer._skip_next_controller_reset = True
-        if checkpoint_monitor in H:
+
+    # Optional orbax async full-state snapshots (production backend).
+    # Restore happens here — before the resume fixup below — because an
+    # orbax snapshot (saved every epoch) supersedes the .pt sidecar (saved
+    # every checkpoint_every epochs).
+    orbax = None
+    if orbax_dir:
+        from .checkpoint import OrbaxCheckpointer
+
+        orbax = OrbaxCheckpointer(
+            orbax_dir if os.path.isabs(orbax_dir) else os.path.join(save_path, orbax_dir),
+            max_to_keep=int(orbax_max_to_keep),
+        )
+        if resuming and orbax.latest_step() is not None:
+            trainer.state, restored_step = orbax.restore_latest(trainer.state)
+            logger.info("Restored orbax snapshot at epoch %s", restored_step)
+        callbacks.append(LambdaCallback(on_epoch_end=lambda epoch, logs: orbax.save(epoch, trainer.state)))
+
+    if resuming:
+        import jax
+
+        # With checkpoint_every > 1 the sidecar can be OLDER than
+        # history.csv (history is written every epoch, the checkpoint every
+        # checkpoint_every epochs).  The restored weights are authoritative:
+        # derive their epoch from the restored step counter and truncate the
+        # replayed history to it, so scheduler/stopping/best state and the
+        # epoch numbering match the weights actually resumed.
+        ckpt_epoch = int(jax.device_get(trainer.state.step)) // max(int(steps_per_epoch), 1)
+        if H.get("epoch") and ckpt_epoch < int(H["epoch"][-1]):
+            logger.info(
+                "Checkpoint is at epoch %d but history reaches epoch %d "
+                "(checkpoint_every=%s): truncating history to the checkpoint",
+                ckpt_epoch, int(H["epoch"][-1]), checkpoint_every,
+            )
+            keep = sum(1 for e in H["epoch"] if int(e) <= ckpt_epoch)
+            for key in list(H):
+                del H[key][keep:]
+        initial_epoch = (int(H["epoch"][-1]) if H.get("epoch") else ckpt_epoch) + 1
+        if checkpoint_monitor in H and H[checkpoint_monitor]:
             for clbk in callbacks:
                 if isinstance(clbk, ModelCheckpoint) and clbk.save_best_only:
                     clbk.best = max(H[checkpoint_monitor])
@@ -189,20 +234,6 @@ def training_loop(
             )
         )
     )
-
-    # Optional orbax async full-state snapshots (production backend).
-    orbax = None
-    if orbax_dir:
-        from .checkpoint import OrbaxCheckpointer
-
-        orbax = OrbaxCheckpointer(
-            orbax_dir if os.path.isabs(orbax_dir) else os.path.join(save_path, orbax_dir),
-            max_to_keep=int(orbax_max_to_keep),
-        )
-        if resuming and orbax.latest_step() is not None:
-            trainer.state, restored_step = orbax.restore_latest(trainer.state)
-            logger.info("Restored orbax snapshot at epoch %s", restored_step)
-        callbacks.append(LambdaCallback(on_epoch_end=lambda epoch, logs: orbax.save(epoch, trainer.state)))
 
     trainer.train_loop(
         train,

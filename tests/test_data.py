@@ -123,3 +123,49 @@ def test_preprocess_flip_is_horizontal_and_per_view():
             else:
                 raise AssertionError("output is neither identity nor horizontal flip")
     assert 0 < sum(flips) < len(flips)  # some flipped, some not
+
+
+def test_pipeline_producer_error_propagates(tmp_path):
+    """A dataset error inside the prefetch producer must fail the epoch
+    loudly, not silently end it early."""
+    import pytest
+
+    from greedy_multimodal_learning_tpu.data import BatchPipeline
+
+    class Broken:
+        def __getitem__(self, i):
+            if i >= 4:
+                raise OSError("corrupt sample")
+            import numpy as np
+
+            return i, np.zeros((2, 8, 8, 3), np.uint8), 0
+
+    pipe = BatchPipeline(Broken(), range(8), batch_size=2, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="producer"):
+        list(pipe)
+
+
+def test_pipeline_early_stop_releases_producer(tmp_path):
+    """Consuming fewer batches than an epoch holds must not leave the
+    producer thread blocked forever on a full queue."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from greedy_multimodal_learning_tpu.data import BatchPipeline
+
+    class DS:
+        def __getitem__(self, i):
+            return i, np.zeros((2, 8, 8, 3), np.uint8), 0
+
+    before = threading.active_count()
+    for _ in range(5):
+        pipe = BatchPipeline(DS(), range(64), batch_size=2, shuffle=False, prefetch=1)
+        it = iter(pipe)
+        next(it)  # take one of 32 batches
+        it.close()  # generator finalizer signals the producer
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer threads leaked"

@@ -174,3 +174,82 @@ def test_n3_controller_generalization():
     state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=0.01, curation_windowsize=2)
     assert bool(state.curation_mode)
     assert int(state.caring_modality) == 2
+
+
+def test_reset_controller_preserves_seeded_rng():
+    """Train-begin reset wipes flags/accumulators but must keep the
+    configured controller PRNG key: a reset to key 0 would make every
+    random-ablation run draw the identical curation sequence."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    model = MMTMMVCNN(nclasses=4, num_towers=2)
+    opt = make_optimizer(lr=0.1)
+    state = create_train_state(
+        model, opt, jax.random.PRNGKey(0), jnp.zeros((2, 2, 16, 16, 3)), controller_seed=42
+    )
+    tr = Trainer(model=model, optimizer=opt, state=state, controller_kind="random")
+    rng_before = np.asarray(tr.state.controller.rng)
+    tr.state = tr.state.replace(
+        controller=tr.state.controller.replace(M_main=jnp.ones_like(tr.state.controller.M_main))
+    )
+    tr.reset_controller()
+    np.testing.assert_array_equal(np.asarray(tr.state.controller.rng), rng_before)
+    assert float(np.asarray(tr.state.controller.M_main).sum()) == 0.0  # reset did reset
+
+
+def test_guided_controller_rejects_empty_param_group():
+    """A branch/modality name that matches nothing must fail loudly, not
+    yield NaN BDR ratios that silently disable curation."""
+    import jax.numpy as jnp
+    import pytest
+
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    model = MMTMMVCNN(nclasses=4, num_towers=2)
+    opt = make_optimizer(lr=0.1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((2, 2, 16, 16, 3)))
+    with pytest.raises(ValueError, match="no parameters matched"):
+        Trainer(
+            model=model,
+            optimizer=opt,
+            state=state,
+            controller_kind="guided",
+            controller_config=dict(
+                epsilon=0.01, curation_windowsize=3, branchnames=["net_view_0", "typo_tower"]
+            ),
+        )
+
+
+def test_train_loop_without_eval_generators(tmp_path):
+    """Train-only runs (valid/test generators left at None) must complete
+    instead of crashing in the eval pass."""
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.data import BatchPipeline, MultiviewModelNet
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.callbacks import LambdaCallback
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    root = make_synthetic_modelnet(str(tmp_path / "d"), n_train=8, n_test=4, num_views=2, image_size=16, nclasses=4)
+    ds = MultiviewModelNet(root, "train", specific_view=[0, 1])
+    pipe = BatchPipeline(ds, range(8), batch_size=4, shuffle=False, prefetch=0)
+    model = MMTMMVCNN(nclasses=4, num_towers=2)
+    opt = make_optimizer(lr=0.1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((4, 2, 16, 16, 3)))
+    trainer = Trainer(model=model, optimizer=opt, state=state, verbose=False)
+
+    logs_seen = []
+    trainer.train_loop(
+        pipe,
+        epochs=2,
+        steps_per_epoch=len(pipe),
+        callbacks=[LambdaCallback(on_epoch_end=lambda epoch, logs: logs_seen.append(logs))],
+    )
+    assert len(logs_seen) == 2
+    assert "loss" in logs_seen[0] and "val_acc" not in logs_seen[0]

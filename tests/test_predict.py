@@ -91,3 +91,39 @@ def test_predict_cli_writes_predictions_csv(tmp_path):
     assert len(df) == 6  # full test split, padded rows trimmed
     assert df["confidence"].between(0, 1).all()
     assert sorted(df["index"]) == list(range(6))
+
+
+def test_predict_honors_mmtm_off(tmp_path):
+    """An ablation Trainer (mmtm_off + average squeeze maps) must predict
+    through the same network configuration its eval metrics come from."""
+    model, optimizer, state, pipe = _make(tmp_path)
+    rng = np.random.default_rng(0)
+    # get_rescale_weights structure: 4 mmtm positions, index 0 unused
+    avg_maps = [None] + [
+        [rng.normal(size=(c,)).astype(np.float32) for _ in range(2)] for c in (128, 256, 512)
+    ]
+    tr_on = Trainer(model=model, optimizer=optimizer, state=state)
+    tr_off = Trainer(
+        model=model, optimizer=optimizer, state=state,
+        mmtm_off=True, average_squeezemaps=avg_maps,
+    )
+    out_on = tr_on.predict(BatchPipeline(pipe.dataset, range(5), batch_size=4, shuffle=False))
+    out_off = tr_off.predict(BatchPipeline(pipe.dataset, range(5), batch_size=4, shuffle=False))
+    # cutting cross-modal flow changes the gates, so the logits must differ
+    assert not np.allclose(out_on["logits"][0], out_off["logits"][0])
+
+    # and the mmtm_off predict path must equal a direct mmtm_off forward
+    batch = next(iter(BatchPipeline(pipe.dataset, range(5), batch_size=4, shuffle=False)))
+    from greedy_multimodal_learning_tpu.data.transforms import preprocess
+
+    x = preprocess(batch["images"], train=False, dtype=model.dtype)
+    (blend, logits, _, _), _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+        x,
+        train=False,
+        valid_mask=jnp.asarray(batch["mask"]),
+        mmtm_off=True,
+        average_squeezemaps=avg_maps,
+        mutable=["mmtm"],
+    )
+    np.testing.assert_allclose(out_off["logits"][0][:4], np.asarray(logits[0])[:4], rtol=1e-5, atol=1e-5)

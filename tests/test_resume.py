@@ -69,3 +69,40 @@ def test_resume_continues_epoch_count(tmp_path, momentum):
     np.testing.assert_allclose(df2["loss"], df3["loss"], rtol=1e-5)
     np.testing.assert_allclose(df2["val_acc"], df3["val_acc"], rtol=1e-6)
     cfg.clear_config()
+
+
+def test_resume_with_checkpoint_every_truncates_history(tmp_path):
+    """checkpoint_every>1: the sidecar can be older than history.csv.  The
+    restored weights are authoritative — resume must truncate the replayed
+    history to the checkpoint's epoch and re-train from there, matching an
+    uninterrupted run exactly (not silently pair stale weights with newer
+    scheduler/stopping state)."""
+    root = make_synthetic_modelnet(str(tmp_path / "data"), n_train=8, n_test=4, num_views=2, image_size=32)
+    save = str(tmp_path / "run")
+    os.makedirs(save)
+    from train import train
+
+    def bind(n_epochs, resume=False):
+        _bind(root, n_epochs=n_epochs, resume=resume)
+        cfg.parse_config("training_loop.checkpoint_every = 2")
+
+    bind(n_epochs=6)  # runs epochs 1..5; last checkpoint lands at epoch 4
+    train(save)
+    df1 = pd.read_csv(os.path.join(save, "history.csv"))
+    assert df1["epoch"].tolist() == [1, 2, 3, 4, 5]
+
+    bind(n_epochs=8, resume=True)  # resumes from epoch-4 weights
+    train(save)
+    df2 = pd.read_csv(os.path.join(save, "history.csv"))
+    assert df2["epoch"].tolist() == [1, 2, 3, 4, 5, 6, 7]
+    # epochs 1..4 preserved; epoch 5 re-trained from the epoch-4 state
+    np.testing.assert_allclose(df2["loss"].iloc[:4], df1["loss"].iloc[:4], rtol=1e-6)
+
+    save_full = str(tmp_path / "run_full")
+    os.makedirs(save_full)
+    bind(n_epochs=8)
+    train(save_full)
+    df3 = pd.read_csv(os.path.join(save_full, "history.csv"))
+    np.testing.assert_allclose(df2["loss"], df3["loss"], rtol=1e-5)
+    np.testing.assert_allclose(df2["val_acc"], df3["val_acc"], rtol=1e-6)
+    cfg.clear_config()
