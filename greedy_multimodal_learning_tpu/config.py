@@ -78,26 +78,49 @@ class _ConfigurableReference:
         return f"@{self.name}" + ("()" if self.evaluate else "")
 
 
-def _strip_comment(line: str) -> str:
-    """Remove a ``#`` comment, respecting string literals."""
+def _scan_line(line: str):
+    """Single pass over a line: drop a ``#`` comment (respecting string
+    literals) and record which kept characters sit inside a string.
+
+    A quote closes its literal only when preceded by an even number of
+    backslashes (so ``"C:\\\\"`` closes, ``"a\\""`` does not)."""
     out = []
+    in_string = []
     quote = None
-    i = 0
-    while i < len(line):
-        ch = line[i]
+    backslashes = 0
+    for ch in line:
         if quote:
             out.append(ch)
-            if ch == quote and (i == 0 or line[i - 1] != "\\"):
-                quote = None
+            in_string.append(True)
+            if ch == "\\":
+                backslashes += 1
+            else:
+                if ch == quote and backslashes % 2 == 0:
+                    quote = None
+                backslashes = 0
         elif ch in ("'", '"'):
             quote = ch
+            backslashes = 0
             out.append(ch)
+            in_string.append(True)
         elif ch == "#":
             break
         else:
             out.append(ch)
-        i += 1
-    return "".join(out)
+            in_string.append(False)
+    return "".join(out), in_string
+
+
+def _strip_comment(line: str) -> str:
+    """Remove a ``#`` comment, respecting string literals."""
+    return _scan_line(line)[0]
+
+
+def _code_chars(line: str) -> str:
+    """The line with comment removed AND string-literal contents blanked —
+    the text bracket-balance heuristics may safely count over."""
+    code, in_string = _scan_line(line)
+    return "".join(c for c, s in zip(code, in_string) if not s)
 
 
 def _parse_value(text: str):
@@ -123,16 +146,24 @@ def parse_config(text: str):
     """Parse gin-style binding lines from a string."""
     # Join simple multi-line list/tuple/dict values.
     pending = ""
-    for raw in text.splitlines():
+    pending_code = ""  # string-literal contents blanked: brackets inside
+    for raw in text.splitlines():  # values like 'split [train' don't count
         line = _strip_comment(raw).strip()
         if not line:
             continue
         pending = pending + " " + line if pending else line
+        code = _code_chars(raw).strip()
+        pending_code = pending_code + " " + code if pending_code else code
         # Heuristic: balanced brackets means the statement is complete.
-        if pending.count("[") > pending.count("]") or pending.count("(") > pending.count(")") or pending.count("{") > pending.count("}"):
+        if (
+            pending_code.count("[") > pending_code.count("]")
+            or pending_code.count("(") > pending_code.count(")")
+            or pending_code.count("{") > pending_code.count("}")
+        ):
             continue
         _parse_statement(pending)
         pending = ""
+        pending_code = ""
     if pending:
         _parse_statement(pending)
 

@@ -171,6 +171,13 @@ class MMTM(nn.Module):
                 and len(set(self.dims)) == 1
                 and not self.shareweight
                 and features[0].ndim >= 3
+                # kernel indexes both modalities by f0's (B, S, C): unequal
+                # spatial shapes must take the general JAX path
+                and features[0].shape == features[1].shape
+                # TPU kernel; CPU runs it in interpreter mode (tests).  Any
+                # other backend (e.g. GPU) falls back to the JAX path
+                # instead of failing to lower a pltpu-targeted kernel.
+                and jax.default_backend() in ("tpu", "cpu")
                 and not self.is_initializing()
             )
             if use_kernel:
@@ -183,15 +190,19 @@ class MMTM(nn.Module):
                 p0 = self.fc_excites[0].variables["params"]
                 p1 = self.fc_excites[1].variables["params"]
                 interpret = jax.default_backend() == "cpu"
+                # Weights cast to the compute dtype so the kernel's matmuls
+                # run at the same precision as TorchLinear's (layers.py:61)
+                # — use_pallas stays a pure performance toggle under bf16.
+                cast = lambda a: a.astype(self.dtype)
                 out0p, out1p, s0, s1, g0, g1 = fused_mmtm_gating(
                     f0r,
                     f1r,
-                    p_sq["kernel"],
-                    p_sq["bias"],
-                    p0["kernel"],
-                    p0["bias"],
-                    p1["kernel"],
-                    p1["bias"],
+                    cast(p_sq["kernel"]),
+                    cast(p_sq["bias"]),
+                    cast(p0["kernel"]),
+                    cast(p0["bias"]),
+                    cast(p1["kernel"]),
+                    cast(p1["bias"]),
                     8,
                     interpret,
                 )

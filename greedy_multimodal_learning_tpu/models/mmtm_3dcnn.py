@@ -16,6 +16,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .fusion import FUSION_WIDTHS, fused_towers_forward
 from .mmtm import MMTM
 from .resnet3d import ResNet3D18Trunk
 from .. import config as cfg
@@ -27,6 +28,9 @@ class MMTM3DCNN(nn.Module):
     modality_names: Sequence[str] = ("rgb", "depth", "flow")
     mmtm_ratio: float = 4.0
     bug_compat: bool = False  # reference bug is 2-modality-specific
+    SEonly: bool = False
+    shareweight: bool = False
+    use_pallas: bool = False  # n>2 falls back to the JAX path (kernel guard)
     width_multiplier: float = 1.0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -51,11 +55,14 @@ class MMTM3DCNN(nn.Module):
                 dims=[w(width)] * n,
                 ratio=self.mmtm_ratio,
                 modality_names=tuple(self.modality_names),
+                SEonly=self.SEonly,
+                shareweight=self.shareweight,
                 bug_compat=self.bug_compat,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"mmtm{li}",
             )
-            for li, width in ((2, 128), (3, 256), (4, 512))
+            for li, width in FUSION_WIDTHS.items()
         }
 
     def __call__(
@@ -74,27 +81,19 @@ class MMTM3DCNN(nn.Module):
             x = [x[:, i] for i in range(n)]
         feats = [self.towers[i].stem(x[i].astype(self.dtype), train, valid_mask) for i in range(n)]
         feats = [self.towers[i].layer(1, feats[i], train, valid_mask) for i in range(n)]
-
-        scales = []
-        squeezed_mps = []
-        for li in (2, 3, 4):
-            feats = [self.towers[i].layer(li, feats[i], train, valid_mask) for i in range(n)]
-            feats, scale, squeezed = self.mmtms[li](
-                feats,
-                curation_mode=curation_mode,
-                caring_modality=caring_modality,
-                turnoff_cross_modal_flow=mmtm_off,
-                average_squeezemaps=average_squeezemaps[li - 1] if mmtm_off else None,
-                valid_mask=valid_mask,
-                return_scale=self.saving_mmtm_scales,
-                return_squeezed_mps=self.saving_mmtm_squeeze_array,
-            )
-            scales.append(scale)
-            squeezed_mps.append(squeezed)
-
-        logits = [self.towers[i].head(feats[i]).astype(jnp.float32) for i in range(n)]
-        blend = sum(logits) / float(n)
-        return blend, logits, scales, squeezed_mps
+        return fused_towers_forward(
+            self.towers,
+            self.mmtms,
+            feats,
+            curation_mode=curation_mode,
+            caring_modality=caring_modality,
+            train=train,
+            valid_mask=valid_mask,
+            mmtm_off=mmtm_off,
+            average_squeezemaps=average_squeezemaps,
+            saving_scales=self.saving_mmtm_scales,
+            saving_squeezes=self.saving_mmtm_squeeze_array,
+        )
 
 
 def build_3dcnn_from_config(dtype=None) -> MMTM3DCNN:
@@ -106,7 +105,10 @@ def build_3dcnn_from_config(dtype=None) -> MMTM3DCNN:
         nclasses=int(q("nclasses", 25)),
         num_towers=int(q("num_modalities", len(names))),
         modality_names=tuple(names),
+        mmtm_ratio=float(q("mmtm_ratio", 4.0)),
+        bug_compat=bool(q("bug_compat", False)),
         width_multiplier=float(q("width_multiplier", 1.0)),
+        remat=bool(q("remat", False)),
         saving_mmtm_scales=bool(q("saving_mmtm_scales", False)),
         saving_mmtm_squeeze_array=bool(q("saving_mmtm_squeeze_array", False)),
         dtype=jnp.dtype(dtype_name) if isinstance(dtype_name, str) else dtype_name,

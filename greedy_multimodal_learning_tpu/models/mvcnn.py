@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .fusion import FUSION_WIDTHS, fused_towers_forward
 from .mmtm import MMTM, mmtm_config_kwargs
 from .resnet import ResNet18Trunk
 from .. import config as cfg
@@ -65,9 +66,6 @@ class MMTMMVCNN(nn.Module):
             ResNet18Trunk(nclasses=self.nclasses, dtype=self.dtype, remat=self.remat, name=f"net_view_{i}")
             for i in range(n)
         ]
-        # Fusion at layer groups 2..4 (widths 128/256/512, reference
-        # src/model.py:58-60).
-        self.fusion_widths = {2: 128, 3: 256, 4: 512}
         self.mmtms = {
             li: MMTM(
                 dims=[w] * n,
@@ -80,7 +78,7 @@ class MMTMMVCNN(nn.Module):
                 dtype=self.dtype,
                 name=f"mmtm{li}",
             )
-            for li, w in ((2, 128), (3, 256), (4, 512))
+            for li, w in FUSION_WIDTHS.items()
         }
 
     def __call__(
@@ -103,27 +101,19 @@ class MMTMMVCNN(nn.Module):
         x = x.astype(self.dtype)
         feats = [self.towers[i].stem(x[:, i], train, valid_mask) for i in range(n)]
         feats = [self.towers[i].layer(1, feats[i], train, valid_mask) for i in range(n)]
-
-        scales = []
-        squeezed_mps = []
-        for li in (2, 3, 4):
-            feats = [self.towers[i].layer(li, feats[i], train, valid_mask) for i in range(n)]
-            feats, scale, squeezed = self.mmtms[li](
-                feats,
-                curation_mode=curation_mode,
-                caring_modality=caring_modality,
-                turnoff_cross_modal_flow=mmtm_off,
-                average_squeezemaps=average_squeezemaps[li - 1] if mmtm_off else None,
-                valid_mask=valid_mask,
-                return_scale=self.saving_mmtm_scales,
-                return_squeezed_mps=self.saving_mmtm_squeeze_array,
-            )
-            scales.append(scale)
-            squeezed_mps.append(squeezed)
-
-        logits = [self.towers[i].head(feats[i]).astype(jnp.float32) for i in range(n)]
-        blend = sum(logits) / float(n)
-        return blend, logits, scales, squeezed_mps
+        return fused_towers_forward(
+            self.towers,
+            self.mmtms,
+            feats,
+            curation_mode=curation_mode,
+            caring_modality=caring_modality,
+            train=train,
+            valid_mask=valid_mask,
+            mmtm_off=mmtm_off,
+            average_squeezemaps=average_squeezemaps,
+            saving_scales=self.saving_mmtm_scales,
+            saving_squeezes=self.saving_mmtm_squeeze_array,
+        )
 
 
 def resolve_pretrained_path():

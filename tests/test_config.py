@@ -124,3 +124,27 @@ def test_parse_reference_config_files():
     assert cfg.query("Bias_Mitigation_Strong", "MMTMnames") == ["visual", "skeleton"]
     assert cfg.query("get_mvdcndata", "specific_views") == [0, 6]
     assert cfg.query("training_loop", "n_epochs") == 300
+
+
+def test_brackets_inside_string_values_dont_break_parsing():
+    """Bracket-balance continuation must ignore brackets inside string
+    literals: a value like 'split [train' must not swallow later lines."""
+    cfg.clear_config()
+    cfg.parse_config(
+        """
+        Thing.note = 'split [train'
+        Thing.after = 7
+        """
+    )
+    assert cfg.query("Thing", "note", None) == "split [train"
+    assert cfg.query("Thing", "after", None) == 7
+    cfg.clear_config()
+
+
+def test_escaped_backslash_before_closing_quote():
+    r"""A literal ending in an escaped backslash ("C:\\") closes its string;
+    a trailing comment after it is stripped."""
+    cfg.clear_config()
+    cfg.parse_config('Thing.path = "C:\\\\"  # windows path')
+    assert cfg.query("Thing", "path", None) == "C:\\"
+    cfg.clear_config()

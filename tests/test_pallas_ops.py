@@ -164,3 +164,44 @@ def test_fused_vjp_mixed_precision_biases(gating_inputs):
     for g, primal in zip(grads, (bsq, b0, b1)):
         assert g.dtype == primal.dtype
         assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_mmtm_module_pallas_equivalence_bf16():
+    """Under bf16 compute the kernel's matmuls run at the same precision as
+    TorchLinear's (weights cast to the compute dtype), so the pallas path
+    stays a performance toggle — not a numerics change."""
+    f0 = jnp.asarray(np.random.default_rng(1).normal(size=(4, 5, 5, 8)), jnp.bfloat16)
+    f1 = jnp.asarray(np.random.default_rng(2).normal(size=(4, 5, 5, 8)), jnp.bfloat16)
+
+    m_jax = MMTM(dims=[8, 8], ratio=4.0, use_pallas=False, dtype=jnp.bfloat16)
+    m_pl = MMTM(dims=[8, 8], ratio=4.0, use_pallas=True, dtype=jnp.bfloat16)
+    variables = m_jax.init(jax.random.PRNGKey(0), [f0, f1])
+
+    (outs_j, sc_j, _), mut_j = m_jax.apply(
+        variables, [f0, f1], return_scale=True, mutable=["mmtm"],
+    )
+    (outs_p, sc_p, _), mut_p = m_pl.apply(
+        variables, [f0, f1], return_scale=True, mutable=["mmtm"],
+    )
+    # bf16 has ~3 decimal digits; the two paths reduce in different orders
+    for a, b in zip(outs_j, outs_p):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=2e-2, atol=2e-2
+        )
+    for a, b in zip(sc_j, sc_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
+    for k in mut_j["mmtm"]:
+        np.testing.assert_allclose(
+            np.asarray(mut_j["mmtm"][k]), np.asarray(mut_p["mmtm"][k]), rtol=2e-2, atol=2e-2
+        )
+
+
+def test_mmtm_kernel_guard_falls_back_on_unequal_spatial():
+    """Different per-modality spatial sizes must take the general JAX path
+    (the kernel indexes both modalities by f0's shape)."""
+    f0 = jnp.asarray(np.random.default_rng(1).normal(size=(4, 6, 6, 8)), jnp.float32)
+    f1 = jnp.asarray(np.random.default_rng(2).normal(size=(4, 3, 3, 8)), jnp.float32)
+    m = MMTM(dims=[8, 8], ratio=4.0, use_pallas=True)
+    variables = m.init(jax.random.PRNGKey(0), [f0, f1])
+    (outs, _, _), _ = m.apply(variables, [f0, f1], mutable=["mmtm"])
+    assert outs[0].shape == f0.shape and outs[1].shape == f1.shape
