@@ -35,25 +35,30 @@ def eval_(
     With ``MMTM_MVCNN.mmtm_off=True`` the dataset-average squeeze maps are
     loaded via the analysis pipeline (reference: src/model.py:39-48) and the
     cross-modal flow is cut during the forward pass."""
+    model_scope = model  # gin scope name for model-family bindings
     model, loaders = build_model_and_loaders(model, batch_size)
     target_data = select_split(loaders, target_data_split)
 
-    mmtm_off = bool(cfg.query("MMTM_MVCNN", "mmtm_off", False))
+    mmtm_off = bool(cfg.query(model_scope, "mmtm_off", False))
     average_squeezemaps = None
     if mmtm_off:
         average_squeezemaps = get_rescale_weights(
-            cfg.query("MMTM_MVCNN", "mmtm_rescale_eval_file_path"),
-            cfg.query("MMTM_MVCNN", "mmtm_rescale_training_file_path"),
+            cfg.query(model_scope, "mmtm_rescale_eval_file_path"),
+            cfg.query(model_scope, "mmtm_rescale_training_file_path"),
             validation=False,
             starting_mmtmindice=1,
             mmtmpositions=4,
         )
 
+    # Unknown names must fail loudly: the reference's module-dict dispatch
+    # raises KeyError (reference: train.py:54-57); a silent skip would turn
+    # a typo'd controller name into a different experiment arm.
     callbacks_constructed = []
     for name in callbacks:
         ctor = getattr(avail_callbacks, name, None)
-        if ctor is not None:
-            callbacks_constructed.append(ctor())
+        if ctor is None:
+            raise KeyError(f"Unknown callback {name!r} in eval_.callbacks")
+        callbacks_constructed.append(ctor())
 
     state = init_state(model, target_data, batch_size, seed)
 

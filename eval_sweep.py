@@ -39,7 +39,9 @@ def eval_sweep_(
     """Evaluate every checkpoint in ``checkpoints`` over one data pass."""
     paths = []
     for pattern in checkpoints:
-        hits = sorted(glob.glob(pattern))
+        # .jax.pkl files are exact-resume sidecars, not checkpoints: a glob
+        # like 'RUN/model_*' must not sweep them as (random-init) rows.
+        hits = sorted(p for p in glob.glob(pattern) if not p.endswith(".jax.pkl"))
         if not hits:
             raise FileNotFoundError(f"no checkpoint matches {pattern!r}")
         paths.extend(hits)

@@ -83,17 +83,22 @@ def _torchify_path(parts):
 
 
 def save_weights(state, filepath):
-    """Write torch-format model checkpoint + JAX sidecar for exact resume."""
+    """Write torch-format model checkpoint + JAX sidecar for exact resume.
+
+    Writes are atomic (temp file + rename): a crash mid-save must never
+    leave a truncated checkpoint that breaks the next resume."""
     state_dict = pytrees_to_state_dict(state.params, state.batch_stats)
     payload = {"model": state_dict, "optimizer": {}}
+    tmp = filepath + ".tmp"
     try:
         import torch
 
         payload["model"] = {k: torch.from_numpy(np.array(v, copy=True)) for k, v in state_dict.items()}
-        torch.save(payload, filepath)
+        torch.save(payload, tmp)
     except ImportError:  # torch-free host: plain pickle with numpy arrays
-        with open(filepath, "wb") as f:
+        with open(tmp, "wb") as f:
             pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, filepath)
 
     sidecar = {
         "params": tree_to_numpy(state.params),
@@ -118,8 +123,9 @@ def save_weights(state, filepath):
         # optimizer state_dict, src/utils.py:107-115).
         "opt_state": tree_to_numpy(state.opt_state) if state.opt_state is not None else None,
     }
-    with open(filepath + ".jax.pkl", "wb") as f:
+    with open(filepath + ".jax.pkl.tmp", "wb") as f:
         pickle.dump(sidecar, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(filepath + ".jax.pkl.tmp", filepath + ".jax.pkl")
 
 
 def load_pretrained(filepath):
@@ -127,6 +133,11 @@ def load_pretrained(filepath):
 
     Accepts rebuild checkpoints (sidecar preferred) and original reference
     ``.pt`` files (torch state_dict, converted)."""
+    if not filepath:
+        raise ValueError(
+            "checkpoint path is required (e.g. bind "
+            "eval_.pretrained_weights_path='RUN/model_best_val.pt')"
+        )
     sidecar_path = filepath + ".jax.pkl"
     if os.path.exists(sidecar_path):
         with open(sidecar_path, "rb") as f:

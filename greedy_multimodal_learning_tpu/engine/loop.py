@@ -116,14 +116,25 @@ def training_loop(
     initial_epoch = 1
     if resuming:
         # New capability vs the reference (which always restarts and wipes
-        # history, SURVEY §5): reload scalar history and continue from the
-        # epoch after the last completed one.
-        import pandas as pd
+        # history, SURVEY §5): reload history and continue from the epoch
+        # after the last completed one.  The structured pickle (when the
+        # run writes one) is preferred over the CSV: it also restores the
+        # non-scalar keys (train_indices, squeeze-map arrays) so the
+        # post-resume history.pickle stays epoch-aligned for the analysis
+        # pipeline instead of restarting those lists empty.
+        history_pickle_path = os.path.join(save_path, "history.pickle")
+        if os.path.exists(history_pickle_path):
+            import pickle
 
-        df = pd.read_csv(history_csv_path)
-        for col in df.columns:
-            H[col] = df[col].tolist()
-        initial_epoch = int(df["epoch"].iloc[-1]) + 1
+            with open(history_pickle_path, "rb") as f:
+                H.update(pickle.load(f))
+        else:
+            import pandas as pd
+
+            df = pd.read_csv(history_csv_path)
+            for col in df.columns:
+                H[col] = df[col].tolist()
+        initial_epoch = int(H["epoch"][-1]) + 1
         logger.info("Resuming from %s at epoch %d", last_ckpt, initial_epoch)
     else:
         # Removes "history.pkl" while save_history writes "history.pickle"

@@ -30,8 +30,9 @@ def stack_variable_trees(trees: Sequence[dict]):
     return jax.tree_util.tree_map(lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]), *trees)
 
 
-def build_sweep_eval_step(model, num_ckpts: int):
-    """Returns step(stacked_vars, batch) -> per-checkpoint metric dict."""
+def build_sweep_eval_step(model):
+    """Returns step(stacked_vars, batch) -> per-checkpoint metric dict
+    (vmap infers the checkpoint count from stacked_vars' leading axis)."""
 
     def one(variables, x, labels, mask):
         (blend, logits, _, _), _ = model.apply(
@@ -62,7 +63,7 @@ def eval_sweep(model, variable_trees: Sequence[dict], generator, steps=None) -> 
     """
     K = len(variable_trees)
     stacked = stack_variable_trees(list(variable_trees))
-    step = build_sweep_eval_step(model, K)
+    step = build_sweep_eval_step(model)
     if steps is None:
         steps = len(generator)
 

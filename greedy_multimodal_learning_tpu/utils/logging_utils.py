@@ -141,6 +141,7 @@ def configure_logger(
             raise ValueError("If file logging enabled, log_file path is required")
         fh = logging.handlers.RotatingFileHandler(log_file, maxBytes=(1048576 * 5), backupCount=7)
         fh.setFormatter(fmt)
+        fh.setLevel(file_logging_level)
         lg.addHandler(fh)
 
     return lg

@@ -99,6 +99,8 @@ def collate_u8(samples, batch_size: int) -> np.ndarray | None:
     L = lib()
     if L is None or not samples:
         return None
+    if len(samples) > batch_size:  # native memcpy loop writes len(samples)
+        return None  # rows — more than batch_size would overflow `out`
     first = samples[0]
     if first.dtype != np.uint8:
         return None
@@ -106,7 +108,9 @@ def collate_u8(samples, batch_size: int) -> np.ndarray | None:
     out = np.empty((batch_size,) + first.shape, np.uint8)
     ptrs = (ctypes.c_void_p * len(samples))()
     for i, s in enumerate(samples):
-        if not s.flags["C_CONTIGUOUS"] or s.shape != first.shape:
+        # every sample checked (same dtype+shape+layout): a float sample of
+        # equal shape would otherwise memcpy garbage bytes silently
+        if s.dtype != np.uint8 or not s.flags["C_CONTIGUOUS"] or s.shape != first.shape:
             return None
         ptrs[i] = s.ctypes.data
     L.gml_collate_u8(

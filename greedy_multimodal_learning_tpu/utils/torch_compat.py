@@ -21,6 +21,7 @@ reference: src/model.py:53-60):
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Dict, Tuple
 
@@ -112,7 +113,10 @@ def merge_loaded_params(target, loaded):
     entries present in ``loaded`` override ``target``; missing keys keep the
     freshly initialized values; shape mismatches raise."""
 
+    matched = 0
+
     def merge(dst, src, prefix=""):
+        nonlocal matched
         out = dict(dst)
         for k, v in src.items():
             if k not in out:
@@ -128,6 +132,16 @@ def merge_loaded_params(target, loaded):
                 # tunneled backend); device targets stay untouched.
                 dtype = out[k].dtype if hasattr(out[k], "dtype") else np.asarray(out[k]).dtype
                 out[k] = np.asarray(v, dtype=dtype)
+                matched += 1
         return out
 
-    return merge(target, loaded)
+    result = merge(target, loaded)
+    if loaded and matched == 0:
+        # strict=False tolerates partial overlap, but a checkpoint whose
+        # keys match NOTHING would silently leave the fresh random init.
+        logging.getLogger(__name__).warning(
+            "checkpoint merge matched 0 of %d loaded entries — the target keeps "
+            "its initialization (wrong file, or a non-checkpoint pickle?)",
+            len(loaded),
+        )
+    return result

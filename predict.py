@@ -51,18 +51,17 @@ def predict_(
     os.makedirs(save_path, exist_ok=True)
     csv_path = os.path.join(save_path, "predictions.csv")
     ds = target.dataset
+    correct = 0
     with open(csv_path, "w") as f:
         f.write("index,model,true_class,predicted_class,confidence\n")
         for row, idx in enumerate(out["indices"]):
             sample_meta = ds.samples[int(idx)]
             true_cls = sample_meta["classname"]
             pred_cls = ds.classnames[int(out["predictions"][row])]
+            correct += pred_cls == true_cls
             conf = float(out["probabilities"][row].max())
             f.write(f"{int(idx)},{sample_meta['model']},{true_cls},{pred_cls},{conf:.6f}\n")
-    acc = sum(
-        ds.classnames.index(ds.samples[int(idx)]["classname"]) == int(out["predictions"][row])
-        for row, idx in enumerate(out["indices"])
-    ) / max(n, 1)
+    acc = correct / max(n, 1)
     print(f"predict: {n} samples in {dt:.2f}s ({n / max(dt, 1e-9):.1f} samples/s), "
           f"top-1 {100 * acc:.2f}% -> {csv_path}")
     return csv_path

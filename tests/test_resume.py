@@ -105,4 +105,13 @@ def test_resume_with_checkpoint_every_truncates_history(tmp_path):
     df3 = pd.read_csv(os.path.join(save_full, "history.csv"))
     np.testing.assert_allclose(df2["loss"], df3["loss"], rtol=1e-5)
     np.testing.assert_allclose(df2["val_acc"], df3["val_acc"], rtol=1e-6)
+
+    # structured history stays epoch-aligned across the resume: the pickle's
+    # non-scalar keys (train_indices, ...) must cover every epoch, not just
+    # the post-resume ones (analysis pipeline indexes them by epoch)
+    import pickle
+
+    with open(os.path.join(save, "history.pickle"), "rb") as f:
+        H = pickle.load(f)
+    assert len(H["train_indices"]) == len(H["epoch"]) == 7
     cfg.clear_config()

@@ -37,12 +37,15 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
     optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
 
     # Callbacks constructed by name lookup, mirroring the reference's
-    # module-dict dispatch (reference: train.py:54-57).
+    # module-dict dispatch — which raises KeyError on an unknown name
+    # (reference: train.py:54-57); a silent skip would turn a typo'd
+    # controller name into a different experiment arm.
     callbacks_constructed = []
     for name in callbacks:
         ctor = getattr(avail_callbacks, name, None)
-        if ctor is not None:
-            callbacks_constructed.append(ctor())
+        if ctor is None:
+            raise KeyError(f"Unknown callback {name!r} in train.callbacks")
+        callbacks_constructed.append(ctor())
 
     state = init_state(model, train_loader, batch_size, seed, optimizer=optimizer)
 
