@@ -50,7 +50,14 @@ class MultimodalClipDataset:
         clips = np.load(self.root_dir / self.split / f"{sample['model']}.npy")
         if self.specific_modalities is not None:
             clips = clips[self.specific_modalities]
-        item = (idx, clips.astype(np.uint8), class_id)
+        if clips.dtype != np.uint8:
+            # same convention as the modelnet loader (_to_uint8_hwc):
+            # floats in [0,1] rescale; a bare astype would truncate them
+            # all to zero (all-black clips, silent chance-level training)
+            if clips.dtype.kind == "f" and clips.max() <= 1.0 + 1e-6:
+                clips = (clips * 255.0).round()
+            clips = np.clip(clips, 0, 255).astype(np.uint8)
+        item = (idx, clips, class_id)
         if self._cache is not None:
             self._cache[idx] = item
         return item
@@ -78,10 +85,19 @@ def get_nvgesturedata(
     test_ds = MultimodalClipDataset(root_dir, "test", specific_modalities=mods, cache=cache)
     train_ds = MultimodalClipDataset(root_dir, "train", specific_modalities=mods, cache=cache)
     training_idx, valid_idx = reference_val_split(len(train_ds), valid_size, random_seed_for_validation)
+
+    # Multi-host: disjoint per-process slices, same as get_mvdcndata —
+    # without this every host would feed identical rows into the global
+    # batch (N-fold duplication).
+    from ..parallel.multihost import process_local_indices
+
+    training_idx = process_local_indices(training_idx)
+    valid_idx = process_local_indices(valid_idx)
+    test_idx = process_local_indices(range(len(test_ds)))
     return (
         BatchPipeline(train_ds, training_idx, batch_size, shuffle=True, seed=seed),
         BatchPipeline(train_ds, valid_idx, batch_size, shuffle=False),
-        BatchPipeline(test_ds, list(range(len(test_ds))), batch_size, shuffle=False),
+        BatchPipeline(test_ds, test_idx, batch_size, shuffle=False),
     )
 
 
@@ -108,7 +124,9 @@ def make_synthetic_nvgesture(
             model = f"{classnames[cls]}_{split}_{i:04d}"
             meta[split].append({"classname": classnames[cls], "model": model})
             clip = rng.integers(0, 255, (num_modalities, frames, image_size, image_size, 3), dtype=np.uint8)
-            clip[:, :, : image_size // 2] = 24 + 52 * cls
+            # class-keyed brightness spread over [20, 220] for ANY nclasses
+            # (a `24 + 52*cls` style literal overflows uint8 at cls >= 5)
+            clip[:, :, : image_size // 2] = 20 + (cls * 200) // max(nclasses - 1, 1)
             np.save(os.path.join(root_dir, split, f"{model}.npy"), clip)
     with open(os.path.join(root_dir, "metadata.json"), "w") as f:
         json.dump(meta, f)

@@ -39,11 +39,6 @@ def make_synthetic_modelnet(
             base = rng.integers(0, 255, (num_views, image_size, image_size, 3), dtype=np.uint8)
             base[:, : image_size // 2] = 20 + (cls * 200) // max(nclasses - 1, 1)
             np.save(os.path.join(root_dir, split, f"{model}.npy"), base)
-            # reference files are torch-serialized with .npy suffix; np.save
-            # appends .npy if missing, so write to exact name
-            exact = os.path.join(root_dir, split, f"{model}.npy")
-            if not os.path.exists(exact):
-                raise RuntimeError("expected npy written")
     with open(os.path.join(root_dir, "metadata.json"), "w") as f:
         json.dump(meta, f)
     return root_dir

@@ -37,7 +37,19 @@ def preprocess(images_u8, *, train: bool, rng=None, dtype=jnp.float32):
         if rng is None:
             raise ValueError("train preprocessing requires an rng key")
         b, v = images_u8.shape[0], images_u8.shape[1]
-        flip = jax.random.bernoulli(rng, 0.5, (b, v)).reshape((b, v) + (1,) * (x.ndim - 2))
+        if x.ndim >= 6:
+            # Video clips (B, M, T, H, W, C): axis 1 is MODALITIES of one
+            # scene, so the flip must be shared across them — independent
+            # per-modality flips would feed the fusion spatially mismatched
+            # pairs.  (Flow x-components are not sign-inverted; disable
+            # flip augmentation for flow-bearing modalities if that
+            # matters for your data.)
+            flip = jax.random.bernoulli(rng, 0.5, (b,)).reshape((b,) + (1,) * (x.ndim - 1))
+        else:
+            # Multiview images (B, V, H, W, C): independent per-view flips,
+            # exactly the reference's per-view RandomHorizontalFlip
+            # (reference: src/dataset.py:41-47 applies the transform per view)
+            flip = jax.random.bernoulli(rng, 0.5, (b, v)).reshape((b, v) + (1,) * (x.ndim - 2))
         x = jnp.where(flip, jnp.flip(x, axis=-2), x)
     bshape = (1,) * (x.ndim - 1) + (3,)
     scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), compute).reshape(bshape)

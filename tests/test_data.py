@@ -169,3 +169,24 @@ def test_pipeline_early_stop_releases_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer threads leaked"
+
+
+def test_preprocess_clip_flip_shared_across_modalities():
+    """Video clips (B, M, T, H, W, C): the train-time flip must be drawn
+    per sample, not per modality — mismatched flips would feed the fusion
+    spatially misaligned modality pairs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from greedy_multimodal_learning_tpu.data.transforms import preprocess
+
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (4, 3, 2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(preprocess(jnp.asarray(clips), train=True, rng=jax.random.PRNGKey(3)))
+    ref = np.asarray(preprocess(jnp.asarray(clips), train=False))
+    for b in range(4):
+        flipped = [
+            not np.allclose(out[b, m], ref[b, m], atol=1e-5) for m in range(3)
+        ]
+        assert len(set(flipped)) == 1, f"sample {b}: modalities flipped inconsistently {flipped}"

@@ -74,6 +74,15 @@ def main():
         r = [r[key] for r in random_.values() if r.get(key) is not None]
         if not g or not r:
             continue
+        dropped = (len(guided) - len(g), len(random_) - len(r))
+        if any(dropped):
+            # e.g. runs that never reached 90% top-1: excluding them keeps
+            # only the arm's best survivors, which biases the comparison —
+            # the test below is over survivors ONLY and must say so.
+            print(
+                f"## {label}: WARNING — excluded runs with no value "
+                f"(guided {dropped[0]}, random {dropped[1]}); statistics cover survivors only"
+            )
         p = permutation_pvalue(g, r)
         u, auc = mann_whitney_u(g, r)
         print(f"## {label}  ({better} is better)")

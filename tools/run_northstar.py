@@ -36,6 +36,25 @@ def sh(cmd, log_path):
     return proc.returncode
 
 
+def train_complete(run_dir, n_epochs):
+    """history.csv exists at every epoch, so its existence alone does NOT
+    mean training finished — an interrupted run would silently enter the
+    statistics.  Complete = reached the epoch budget (n_epochs-1 executed,
+    quirk #3) or CompletedStopping fired (>= 5 epochs at train acc 100,
+    the shipped configs' patience)."""
+    hist = os.path.join(run_dir, "history.csv")
+    if not os.path.exists(hist):
+        return False
+    import pandas as pd
+
+    df = pd.read_csv(hist)
+    if len(df) == 0:
+        return False
+    if int(df["epoch"].iloc[-1]) >= n_epochs - 1:
+        return True
+    return int((df["acc"] == 100.0).sum()) >= 5
+
+
 def summarize_run(run_dir, steps_per_epoch):
     import pandas as pd
 
@@ -80,6 +99,9 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=50)
     args = ap.parse_args()
 
+    # Subprocesses run with cwd=REPO: a relative workdir would split
+    # artifacts between two trees (driver resolves against invoking cwd).
+    args.workdir = os.path.abspath(args.workdir)
     data = os.path.join(args.workdir, "data")
     os.makedirs(args.workdir, exist_ok=True)
     if not os.path.exists(os.path.join(data, "metadata.json")):
@@ -101,7 +123,11 @@ def main():
                 f"#training_loop.n_epochs={args.epochs}"
                 f"#training_loop.checkpoint_every={args.checkpoint_every}"
             )
-            if not os.path.exists(os.path.join(run, "history.csv")):
+            if not train_complete(run, args.epochs):
+                if os.path.exists(os.path.join(run, "history.csv")):
+                    # interrupted earlier invocation: finish it via the
+                    # framework's exact-resume path instead of skipping
+                    bindings += "#training_loop.resume=True"
                 rc = sh([sys.executable, "train.py", run, config, bindings], log)
                 if rc != 0:
                     summary[name] = {"error": f"train rc={rc}"}
@@ -130,7 +156,12 @@ def main():
             # configs use batch 8 and a 20% val split (configs/training*.gin)
             with open(os.path.join(data, "metadata.json")) as f:
                 n_train_total = len(json.load(f)["train"])
-            steps_per_epoch = -(-int(n_train_total * 0.8) // 8)
+            # reference split: val = floor(0.2n), train = n - floor(0.2n)
+            # (data/modelnet.py::reference_val_split) — not floor(0.8n)
+            import numpy as np
+
+            n_train_split = n_train_total - int(np.floor(0.2 * n_train_total))
+            steps_per_epoch = -(-n_train_split // 8)
             try:
                 summary[name] = summarize_run(run, steps_per_epoch)
                 summary[name].update(read_mmtm_off(run))
