@@ -25,6 +25,26 @@ from .. import config as cfg
 logger = logging.getLogger(__name__)
 
 
+def _host_value_nonblocking(v):
+    """float(v) that NEVER blocks on the device.
+
+    Progress rendering is cosmetic; a blocking fetch of an in-flight step
+    output costs up to seconds per metric on a remote/tunneled backend —
+    measured 100-900 s of render stalls per 150-step recording pass.  A
+    device value whose result has not landed yet returns None (the metric
+    simply appears on a later render frame)."""
+    if hasattr(v, "is_ready"):
+        try:
+            if not v.is_ready():
+                return None
+        except Exception:
+            pass
+    try:
+        return float(v)
+    except Exception:
+        return None
+
+
 class CallbackList:
     def __init__(self, callbacks=None):
         self.callbacks = list(callbacks or [])
@@ -427,7 +447,9 @@ class ProgressionCallback(Callback):
         for k in keys:
             v = logs.get(prefix + k if prefix else k)
             if v is not None:
-                out.append("{}: {:f}".format(prefix + k if prefix else k, float(v)))
+                v = _host_value_nonblocking(v)
+                if v is not None:
+                    out.append("{}: {:f}".format(prefix + k if prefix else k, v))
         return out
 
     def _get_metrics_string(self, logs):
@@ -453,7 +475,9 @@ class ValidationProgressionCallback(Callback):
         for k in self.metrics:
             v = logs.get(k)
             if v is not None:
-                parts.append("{}: {:f}".format(self.params["phase"] + "_" + k, float(v)))
+                v = _host_value_nonblocking(v)
+                if v is not None:
+                    parts.append("{}: {:f}".format(self.params["phase"] + "_" + k, v))
         return ", ".join(parts)
 
     def on_batch_begin(self, batch, logs):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import checkpoint as ckpt
+from ..utils.pytree import bulk_device_get
 from .callbacks import CallbackList, ProgressionCallback, ValidationProgressionCallback
 from .controller import init_controller_state
 from .steps import build_eval_step, build_train_step, make_controller_update
@@ -209,7 +210,7 @@ class Trainer:
             self.profile_dir = None
 
         # One synchronization point for the whole epoch.
-        outs = jax.device_get([r["out"] for r in records])
+        outs = bulk_device_get([r["out"] for r in records])
         sizes = np.array([r["size"] for r in records], np.float64)
         losses = np.array([o["loss"] for o in outs], np.float64)
         total = sizes.sum()
@@ -279,7 +280,7 @@ class Trainer:
             t_render += t_mark - batch_begin_time
 
         t_fetch0 = timeit.default_timer()
-        outs = jax.device_get([r["out"] for r in records])
+        outs = bulk_device_get([r["out"] for r in records])
         logger.info(
             "%s pass timing: data-wait %.1fs, dispatch %.1fs, render+hooks %.1fs, final fetch %.1fs",
             phase, t_data, t_dispatch, max(t_render - t_dispatch, 0.0), timeit.default_timer() - t_fetch0,

@@ -3,6 +3,8 @@ tensor-structure utilities, reference: src/utils.py:85-128)."""
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import numpy as np
 
@@ -20,6 +22,78 @@ def tree_to_numpy(tree):
         if isinstance(leaf, jax.Array) and hasattr(leaf, "copy_to_host_async"):
             leaf.copy_to_host_async()
     return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+
+_PACK_CHUNK = 128
+
+
+@_functools.lru_cache(maxsize=256)
+def _chunk_packer(signature):
+    """Jitted ravel+concat for one chunk signature ((shape, dtype), ...).
+
+    Cached per signature: fetching a list of identically-structured
+    records produces a periodic leaf sequence, so only a handful of
+    distinct chunk signatures (and hence compiles) occur per pass."""
+    import jax.numpy as jnp
+
+    del signature  # cache key only; shapes/dtypes are re-traced from args
+
+    def pack(arrs):
+        return jnp.concatenate([jnp.ravel(a) for a in arrs])
+
+    return jax.jit(pack)
+
+
+def bulk_device_get(tree):
+    """Device pytree -> host numpy pytree with ~per-chunk instead of
+    per-leaf device->host transfers.
+
+    On a remote/tunneled backend the per-buffer RPC dominates bulk
+    fetches: a 150-step recording pass's records (~4,200 small buffers,
+    ~17 MB) took 247 s through plain ``jax.device_get`` (~60 ms/buffer),
+    while a packed flat buffer fetches in ~0.1 s.  A single concat over
+    all 4,200 operands is no good either — its one-time XLA compile is
+    minutes.  So leaves are packed on device in chunks of ``_PACK_CHUNK``
+    per dtype, each chunk through a signature-cached jitted concat
+    (records share a structure, so signatures repeat and compiles are
+    O(1) per pass); all chunk programs are dispatched before the first
+    blocking fetch.  Non-device leaves pass through unchanged."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    device_ix = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    if not device_ix:
+        return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+    groups = {}
+    for i in device_ix:
+        groups.setdefault(np.dtype(leaves[i].dtype).name, []).append(i)
+
+    # Dispatch every chunk's pack program before any blocking fetch.
+    chunks = []  # (indices, packed_device_array)
+    for _, ixs in groups.items():
+        for start in range(0, len(ixs), _PACK_CHUNK):
+            chunk_ix = ixs[start : start + _PACK_CHUNK]
+            arrs = [leaves[i] for i in chunk_ix]
+            if len(arrs) == 1:
+                chunks.append((chunk_ix, arrs[0]))
+                continue
+            sig = tuple((a.shape, np.dtype(a.dtype).name) for a in arrs)
+            chunks.append((chunk_ix, _chunk_packer(sig)(arrs)))
+
+    fetched = jax.device_get([packed for _, packed in chunks])
+
+    out = list(leaves)
+    for (chunk_ix, _), packed in zip(chunks, fetched):
+        if len(chunk_ix) == 1:
+            out[chunk_ix[0]] = packed
+            continue
+        offset = 0
+        for i in chunk_ix:
+            a = leaves[i]
+            n = int(np.prod(a.shape)) if a.shape else 1
+            out[i] = packed[offset : offset + n].reshape(a.shape)
+            offset += n
+    out = [np.asarray(x) if (hasattr(x, "shape") and not isinstance(x, np.ndarray)) else x for x in out]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def tree_size_bytes(tree) -> int:
