@@ -52,6 +52,7 @@ def test_analyze_northstar_statistics(tmp_path):
     """Permutation test + U statistic sanity on the suite analyzer."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     try:
+        import analyze_northstar as an
         from analyze_northstar import mann_whitney_u, permutation_pvalue
     finally:
         sys.path.pop(0)
@@ -59,12 +60,26 @@ def test_analyze_northstar_statistics(tmp_path):
     # fully separated groups of 4: the only assignment at least as extreme
     # as observed is the observed one (and its mirror) -> p = 2/C(8,4)
     a, b = [10.0, 11.0, 12.0, 13.0], [1.0, 2.0, 3.0, 4.0]
-    assert abs(permutation_pvalue(a, b) - 2 / 70) < 1e-12
+    p, exact = permutation_pvalue(a, b)
+    assert exact and abs(p - 2 / 70) < 1e-12
     u, auc = mann_whitney_u(a, b)
     assert u == 16.0 and auc == 1.0
 
     # identical groups: every assignment ties the observed statistic -> p = 1
-    assert permutation_pvalue([5.0, 5.0], [5.0, 5.0]) == 1.0
+    p, exact = permutation_pvalue([5.0, 5.0], [5.0, 5.0])
+    assert exact and p == 1.0
+
+    # large groups fall back to Monte Carlo; identical distributions must
+    # stay far from significance, separated ones at the estimator floor
+    old = an._EXACT_LIMIT
+    an._EXACT_LIMIT, an._MC_SAMPLES = 10, 2000
+    try:
+        p, exact = permutation_pvalue(list(range(8)), list(range(8)))
+        assert not exact and p > 0.5
+        p, exact = permutation_pvalue([100.0 + i for i in range(8)], [float(i) for i in range(8)])
+        assert not exact and p < 0.01
+    finally:
+        an._EXACT_LIMIT, an._MC_SAMPLES = old, 400_000
     _, auc = mann_whitney_u([5.0, 5.0], [5.0, 5.0])
     assert auc == 0.5
 

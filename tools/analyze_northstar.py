@@ -26,20 +26,40 @@ import sys
 import numpy as np
 
 
-def permutation_pvalue(a, b):
-    """Exact two-sided permutation test on |mean(a) - mean(b)|."""
+_EXACT_LIMIT = 4_000_000  # C(24,12) = 2.7M is fine; C(32,16) = 601M is not
+_MC_SAMPLES = 400_000
+
+
+def permutation_pvalue(a, b, rng_seed=0):
+    """Two-sided permutation test on |mean(a) - mean(b)|.
+
+    Exact (all C(n0+n1, n0) assignments) when that count is feasible;
+    otherwise Monte Carlo over label shuffles with the add-one estimator
+    (count+1)/(total+1), which is a valid p-value for sampled tests
+    (Phipson & Smyth 2010).  Returns (p, exact_flag)."""
     a, b = np.asarray(a, float), np.asarray(b, float)
     pooled = np.concatenate([a, b])
     observed = abs(a.mean() - b.mean())
     n = len(a)
-    count = total = 0
-    for idx in itertools.combinations(range(len(pooled)), n):
-        mask = np.zeros(len(pooled), bool)
-        mask[list(idx)] = True
-        stat = abs(pooled[mask].mean() - pooled[~mask].mean())
+    from math import comb
+
+    if comb(len(pooled), n) <= _EXACT_LIMIT:
+        count = total = 0
+        for idx in itertools.combinations(range(len(pooled)), n):
+            mask = np.zeros(len(pooled), bool)
+            mask[list(idx)] = True
+            stat = abs(pooled[mask].mean() - pooled[~mask].mean())
+            count += stat >= observed - 1e-12
+            total += 1
+        return count / total, True
+
+    rng = np.random.default_rng(rng_seed)
+    count = 0
+    for _ in range(_MC_SAMPLES):
+        perm = rng.permutation(pooled)
+        stat = abs(perm[:n].mean() - perm[n:].mean())
         count += stat >= observed - 1e-12
-        total += 1
-    return count / total
+    return (count + 1) / (_MC_SAMPLES + 1), False
 
 
 def mann_whitney_u(a, b):
@@ -83,12 +103,13 @@ def main():
                 f"## {label}: WARNING — excluded runs with no value "
                 f"(guided {dropped[0]}, random {dropped[1]}); statistics cover survivors only"
             )
-        p = permutation_pvalue(g, r)
+        p, exact = permutation_pvalue(g, r)
         u, auc = mann_whitney_u(g, r)
+        kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
         print(f"## {label}  ({better} is better)")
         print(f"  guided ({len(g)}): {fmt(sorted(g))}   mean {np.mean(g):.4g}")
         print(f"  random ({len(r)}): {fmt(sorted(r))}   mean {np.mean(r):.4g}")
-        print(f"  mean diff {np.mean(g) - np.mean(r):+.4g}; exact permutation p = {p:.4g}; "
+        print(f"  mean diff {np.mean(g) - np.mean(r):+.4g}; {kind} permutation p = {p:.4g}; "
               f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})\n")
 
     print("## per-run table (markdown)")
