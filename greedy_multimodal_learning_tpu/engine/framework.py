@@ -251,7 +251,7 @@ class Trainer:
         # Phase attribution (data-wait / dispatch / render) logged at debug
         # level: on remote backends a slow eval loop is usually one of these
         # three and the split identifies which without a profiler.
-        t_data = t_dispatch = t_render = 0.0
+        t_data = t_dispatch = t_render = t_first_dispatch = 0.0
         t_mark = timeit.default_timer()
         for batch_ind, batch in _get_step_iterator(steps, generator, put=self._put):
             batch_begin_time = timeit.default_timer()
@@ -263,6 +263,11 @@ class Trainer:
             self.state = self.state.replace(mmtm=new_mmtm)
             records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
             t_dispatch += timeit.default_timer() - batch_begin_time
+            if batch_ind == 1:
+                # First dispatch carries the (possibly minutes-long cold)
+                # XLA compile on this backend; report it apart so steady-
+                # state dispatch isn't misread as backpressure.
+                t_first_dispatch = t_dispatch
             batch_logs = {
                 "batch": batch_ind,
                 "size": size,
@@ -282,8 +287,10 @@ class Trainer:
         t_fetch0 = timeit.default_timer()
         outs = bulk_device_get([r["out"] for r in records])
         logger.info(
-            "%s pass timing: data-wait %.1fs, dispatch %.1fs, render+hooks %.1fs, final fetch %.1fs",
-            phase, t_data, t_dispatch, max(t_render - t_dispatch, 0.0), timeit.default_timer() - t_fetch0,
+            "%s pass timing: data-wait %.1fs, dispatch %.1fs (first %.1fs), "
+            "render+hooks %.1fs, final fetch %.1fs",
+            phase, t_data, t_dispatch, t_first_dispatch,
+            max(t_render - t_dispatch, 0.0), timeit.default_timer() - t_fetch0,
         )
         sizes = np.array([r["size"] for r in records], np.float64)
         total = max(sizes.sum(), 1.0)
