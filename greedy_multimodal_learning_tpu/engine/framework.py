@@ -261,6 +261,12 @@ class Trainer:
             indices = batch.pop("indices")
             new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
             self.state = self.state.replace(mmtm=new_mmtm)
+            packed = out.get("packed_records")
+            if packed is not None and hasattr(packed, "copy_to_host_async"):
+                # Start the D2H copy of this step's recording payload now so
+                # the transfer overlaps the remaining loop instead of
+                # queueing behind it at the final fetch.
+                packed.copy_to_host_async()
             records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
             t_dispatch += timeit.default_timer() - batch_begin_time
             if batch_ind == 1:
@@ -304,6 +310,25 @@ class Trainer:
         for i in range(self.nummodalities):
             vals = np.array([o["acc_modal"][i] for o in outs])
             info[f"{phase}_acc_modal_{i}"] = float((vals * sizes).sum() / total)
+
+        # Unpack the in-step-packed recording payload (engine/steps.py
+        # packs all scale/squeeze arrays into one flat buffer per step)
+        # back into the reference's per-mmtm per-view structure.
+        spec = getattr(self._eval_step, "record_pack_spec", None)
+        if spec and outs and "packed_records" in outs[0]:
+            for o in outs:
+                flat = o.pop("packed_records")
+                offset = 0
+                for key, mi, vi, shape in spec:
+                    n = int(np.prod(shape))
+                    dest = o.setdefault(key, {})
+                    dest.setdefault(mi, {})[vi] = flat[offset : offset + n].reshape(shape)
+                    offset += n
+                for key in ("mmtmscales_list", "squeezedmaps_array_list"):
+                    if key in o:
+                        o[key] = [
+                            [o[key][mi][vi] for vi in sorted(o[key][mi])] for mi in sorted(o[key])
+                        ]
 
         # Recording extras: trim padded rows, preserve the reference's
         # epoch->batch->mmtm->view nesting (src/framework.py:109-114 +

@@ -150,6 +150,11 @@ def build_eval_step(
     saving flags are set (recording mode, reference: configs/recording.gin).
     """
 
+    # Trace-time pack spec for recording outputs: (key, mmtm_idx, view_idx,
+    # shape) per packed leaf, populated on first trace.  Shapes are static
+    # under jit, so the spec is identical for every call.
+    record_pack_spec: list = []
+
     def eval_step(state, batch, average_squeezemaps):
         x = preprocess(batch["images"], train=False, dtype=model.dtype)
         mask = batch["mask"]
@@ -169,12 +174,31 @@ def build_eval_step(
         loss = blend_loss(logits, labels, mask)
         blend_acc, per_view_acc = blend_and_per_view_acc(logits, labels, mask)
         out = {"loss": loss, "acc": blend_acc, "acc_modal": per_view_acc}
-        if model.saving_mmtm_scales:
-            out["mmtmscales_list"] = scales
-        if model.saving_mmtm_squeeze_array:
-            out["squeezedmaps_array_list"] = squeezes
+        # Recording outputs (6+ arrays/step) are packed into ONE flat f32
+        # buffer: on a remote backend every extra output buffer costs
+        # per-step RPC bookkeeping, and a 150-step recording pass holding
+        # ~4,200 live buffers measurably degrades the link (PERF.md).  The
+        # concat fuses into the step program — no extra compile/dispatch.
+        packed_leaves = []
+        record_pack_spec.clear()
+        for key, val, enabled in (
+            ("mmtmscales_list", scales, model.saving_mmtm_scales),
+            ("squeezedmaps_array_list", squeezes, model.saving_mmtm_squeeze_array),
+        ):
+            if not enabled:
+                continue
+            for mi, mmtm in enumerate(val):
+                for vi, arr in enumerate(mmtm):
+                    record_pack_spec.append((key, mi, vi, tuple(arr.shape)))
+                    packed_leaves.append(jnp.ravel(arr.astype(jnp.float32)))
+        if packed_leaves:
+            out["packed_records"] = jnp.concatenate(packed_leaves)
         return mut["mmtm"], out
 
-    if not jit:
-        return eval_step
-    return jax.jit(eval_step)
+    stepper = eval_step if not jit else jax.jit(eval_step)
+
+    def wrapped(state, batch, average_squeezemaps):
+        return stepper(state, batch, average_squeezemaps)
+
+    wrapped.record_pack_spec = record_pack_spec
+    return wrapped

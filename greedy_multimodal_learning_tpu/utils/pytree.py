@@ -67,11 +67,40 @@ def bulk_device_get(tree):
     for i in device_ix:
         groups.setdefault(np.dtype(leaves[i].dtype).name, []).append(i)
 
+    # When the input is a list of identically-structured items (the epoch
+    # record list), align chunk boundaries to whole items so every full
+    # chunk shares ONE (shape, dtype) signature — one cached compile per
+    # pass instead of one per boundary drift (compiles cost tens of
+    # seconds on the remote backend).
+    def _item_period(dtype_name):
+        if not isinstance(tree, (list, tuple)) or len(tree) < 2:
+            return None
+        sigs = set()
+        counts = []
+        for item in tree:
+            item_leaves = [
+                l for l in jax.tree_util.tree_leaves(item) if isinstance(l, jax.Array)
+            ]
+            sigs.add(
+                tuple(
+                    (l.shape, np.dtype(l.dtype).name)
+                    for l in item_leaves
+                )
+            )
+            counts.append(
+                sum(1 for l in item_leaves if np.dtype(l.dtype).name == dtype_name)
+            )
+        if len(sigs) == 1 and counts and counts[0] > 0:
+            return counts[0]
+        return None
+
     # Dispatch every chunk's pack program before any blocking fetch.
     chunks = []  # (indices, packed_device_array)
-    for _, ixs in groups.items():
-        for start in range(0, len(ixs), _PACK_CHUNK):
-            chunk_ix = ixs[start : start + _PACK_CHUNK]
+    for dtype_name, ixs in groups.items():
+        period = _item_period(dtype_name)
+        chunk_len = _PACK_CHUNK if period is None else max(period, (_PACK_CHUNK // period) * period)
+        for start in range(0, len(ixs), chunk_len):
+            chunk_ix = ixs[start : start + chunk_len]
             arrs = [leaves[i] for i in chunk_ix]
             if len(arrs) == 1:
                 chunks.append((chunk_ix, arrs[0]))
