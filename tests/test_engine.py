@@ -253,3 +253,56 @@ def test_train_loop_without_eval_generators(tmp_path):
     )
     assert len(logs_seen) == 2
     assert "loss" in logs_seen[0] and "val_acc" not in logs_seen[0]
+
+
+def test_eval_step_packed_records_match_model_outputs():
+    """The in-step packed recording payload (engine/steps.py) must unpack,
+    via record_pack_spec, to exactly the scale/squeeze arrays the model
+    reports — order, shapes and values."""
+    from greedy_multimodal_learning_tpu.data.transforms import preprocess
+    from greedy_multimodal_learning_tpu.engine import build_eval_step, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    model = MMTMMVCNN(
+        nclasses=4, num_towers=2, saving_mmtm_scales=True, saving_mmtm_squeeze_array=True
+    )
+    opt = make_optimizer(lr=0.1)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((2, 2, 16, 16, 3)))
+    step = build_eval_step(model)
+
+    batch = {
+        "images": jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (2, 2, 16, 16, 3), np.uint8)
+        ),
+        "labels": jnp.asarray([1, 3]),
+        "mask": jnp.ones((2,), jnp.float32),
+    }
+    _, out = step(state, batch, None)
+    spec = step.record_pack_spec
+    assert spec and "packed_records" in out
+
+    # Oracle: the same forward straight through the model.
+    (_, _, scales, squeezes), _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+        preprocess(batch["images"], train=False, dtype=model.dtype),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        train=False,
+        valid_mask=batch["mask"],
+        mutable=["mmtm"],
+    )
+    oracle = {"mmtmscales_list": scales, "squeezedmaps_array_list": squeezes}
+
+    flat = np.asarray(out["packed_records"])
+    offset = 0
+    seen = set()
+    for key, mi, vi, shape in spec:
+        n = int(np.prod(shape))
+        got = flat[offset : offset + n].reshape(shape)
+        want = np.asarray(oracle[key][mi][vi], np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        seen.add((key, mi, vi))
+        offset += n
+    assert offset == flat.size  # spec covers the whole payload
+    # every mmtm/view pair of both payload kinds is present exactly once
+    assert len(seen) == 2 * len(scales) * len(scales[0])
