@@ -25,24 +25,48 @@ from .. import config as cfg
 logger = logging.getLogger(__name__)
 
 
-def _host_value_nonblocking(v):
-    """float(v) that NEVER blocks on the device.
+class _MetricReader:
+    """float(v) for progress rendering that never blocks and never gets
+    expensive.
 
-    Progress rendering is cosmetic; a blocking fetch of an in-flight step
-    output costs up to seconds per metric on a remote/tunneled backend —
-    measured 100-900 s of render stalls per 150-step recording pass.  A
-    device value whose result has not landed yet returns None (the metric
-    simply appears on a later render frame)."""
-    if hasattr(v, "is_ready"):
+    Progress rendering is cosmetic.  On a remote/tunneled backend a
+    blocking fetch of an in-flight value costs seconds (measured 100-900 s
+    of render stalls per 150-step recording pass), so values that are not
+    ready yet are skipped (``is_ready``).  On a *degraded* link even
+    fetching READY values measured ~8 s per RPC, so each reader also
+    carries a cumulative time budget: once rendering has spent
+    ``max_total_seconds`` fetching metric values, further device fetches
+    are disabled for the rest of the pass and lines render without
+    metrics (the pass-end summary still reports them).  Host scalars are
+    always free."""
+
+    def __init__(self, max_total_seconds=2.0):
+        self.max_total = max_total_seconds
+        self.spent = 0.0
+
+    def reset(self):
+        self.spent = 0.0
+
+    def __call__(self, v):
+        if v is None:
+            return None
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return float(v)
+        if self.spent >= self.max_total:
+            return None
+        if hasattr(v, "is_ready"):
+            try:
+                if not v.is_ready():
+                    return None
+            except Exception:
+                pass
+        t0 = timeit.default_timer()
         try:
-            if not v.is_ready():
-                return None
+            return float(v)
         except Exception:
-            pass
-    try:
-        return float(v)
-    except Exception:
-        return None
+            return None
+        finally:
+            self.spent += timeit.default_timer() - t0
 
 
 class CallbackList:
@@ -398,6 +422,7 @@ class ProgressionCallback(Callback):
         self.other_metrics = list(other_metrics)
         self.min_render_interval = min_render_interval
         self._last_render = 0.0
+        self._reader = _MetricReader()
 
     def on_train_begin(self, logs):
         self.metrics = ["loss"] + self.model_pytoune.metrics_names
@@ -406,6 +431,7 @@ class ProgressionCallback(Callback):
 
     def on_epoch_begin(self, epoch, logs):
         self.step_times_sum = 0.0
+        self._reader.reset()
         self.epoch = epoch
         sys.stdout.write("\rEpoch %d/%d" % (self.epoch, self.epochs))
         sys.stdout.flush()
@@ -447,7 +473,7 @@ class ProgressionCallback(Callback):
         for k in keys:
             v = logs.get(prefix + k if prefix else k)
             if v is not None:
-                v = _host_value_nonblocking(v)
+                v = self._reader(v)
                 if v is not None:
                     out.append("{}: {:f}".format(prefix + k if prefix else k, v))
         return out
@@ -469,13 +495,14 @@ class ValidationProgressionCallback(Callback):
         self.metrics = metrics_names
         self.min_render_interval = min_render_interval
         self._last_render = 0.0
+        self._reader = _MetricReader()
 
     def _get_metrics_string(self, logs):
         parts = []
         for k in self.metrics:
             v = logs.get(k)
             if v is not None:
-                v = _host_value_nonblocking(v)
+                v = self._reader(v)
                 if v is not None:
                     parts.append("{}: {:f}".format(self.params["phase"] + "_" + k, v))
         return ", ".join(parts)
@@ -483,6 +510,7 @@ class ValidationProgressionCallback(Callback):
     def on_batch_begin(self, batch, logs):
         if batch == 1:
             self.step_times_sum = 0.0
+            self._reader.reset()
         self.steps = self.params["steps"]
 
     def on_batch_end(self, batch, logs):

@@ -207,3 +207,21 @@ def test_model_checkpoint_period():
         cb.on_epoch_end(epoch, {"val_acc": v})
     # only epochs 2 and 4 are eligible
     assert len(cb.model_pytoune.saves) == 2
+
+
+def test_metric_reader_budget_disables_device_fetches():
+    """_MetricReader: host scalars are always free; device-value fetches
+    stop once the cumulative budget is spent (degraded-link guard)."""
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.engine.callbacks import _MetricReader
+
+    r = _MetricReader(max_total_seconds=0.0)  # budget already exhausted
+    assert r(1.5) == 1.5 and r(7) == 7.0  # host values unaffected
+    assert r(jnp.float32(2.0)) is None  # device fetch suppressed
+
+    r = _MetricReader(max_total_seconds=10.0)
+    assert r(jnp.float32(2.0)) == 2.0  # within budget: fetched
+    assert r.spent > 0.0
+    r.reset()
+    assert r.spent == 0.0
