@@ -32,7 +32,13 @@ from . import checkpoint as ckpt
 from ..utils.pytree import bulk_device_get
 from .callbacks import CallbackList, ProgressionCallback, ValidationProgressionCallback
 from .controller import init_controller_state
-from .steps import build_eval_step, build_train_step, make_controller_update
+from .steps import (
+    _make_eval_core,
+    build_eval_step,
+    build_scanned_eval_step,
+    build_train_step,
+    make_controller_update,
+)
 from .train_state import get_learning_rate, set_learning_rate
 
 logger = logging.getLogger(__name__)
@@ -127,7 +133,16 @@ class Trainer:
             k: v for k, v in self.controller_config.items() if k in ("epsilon", "curation_windowsize")
         })
         self._train_step = build_train_step(model, optimizer, group_matrix, ctrl_update, jit=jit) if optimizer is not None else None
-        self._eval_step = build_eval_step(model, mmtm_off=mmtm_off, jit=jit)
+        eval_core = _make_eval_core(model, mmtm_off)
+        self._eval_step = build_eval_step(model, mmtm_off=mmtm_off, jit=jit, core_and_spec=eval_core)
+        # Scanned eval: K steps per dispatch (single-device jitted runs
+        # only — stacked-batch shardings are undefined under a mesh).
+        self.eval_scan_size = 10
+        self._eval_scan_step = (
+            build_scanned_eval_step(model, mmtm_off=mmtm_off, jit=True, core_and_spec=eval_core)
+            if (jit and mesh is None)
+            else None
+        )
         # Optional profiling (SURVEY §5: the reference has only wall-clock
         # timers; here a jax.profiler trace can be captured per run).
         self.profile_dir = None
@@ -252,34 +267,82 @@ class Trainer:
         # level: on remote backends a slow eval loop is usually one of these
         # three and the split identifies which without a profiler.
         t_data = t_dispatch = t_render = t_first_dispatch = 0.0
+        # Scanned groups: K steps per dispatch (one link round trip and one
+        # H2D upload per group — PERF.md).  The steps%K tail runs through
+        # the per-step program, so no padded forwards ever touch the MMTM
+        # running-average chain (quirk #6 semantics are exact).
+        K = self.eval_scan_size if self._eval_scan_step is not None else 0
+        use_scan = bool(K) and steps >= 2 * K
+        # NOTE: no per-step copy_to_host_async anywhere here — on the
+        # remote backend it queues one slow per-buffer transfer per step
+        # and the final bulk fetch then waits behind the whole queue
+        # (measured 680 s for 150 x 57 KB).  The chunked pack in
+        # bulk_device_get moves the same data in a handful of RPCs.
+        pending = []  # host batches awaiting a full scan group
+
+        def flush_pending():
+            nonlocal t_first_dispatch
+            if not pending:
+                return
+            t0 = timeit.default_timer()
+            if len(pending) == K:
+                stacked = {
+                    key: np.stack([p["batch"][key] for p in pending])
+                    for key in pending[0]["batch"]
+                }
+                new_mmtm, outs = self._eval_scan_step(self.state, stacked, avg_maps)
+                self.state = self.state.replace(mmtm=new_mmtm)
+                records.append(
+                    {
+                        "out": outs,
+                        "scan": len(pending),
+                        "size": [p["size"] for p in pending],
+                        "indices": [p["indices"] for p in pending],
+                    }
+                )
+            else:
+                # ragged tail (steps % K): per-step program, so only ONE
+                # scan length is ever compiled
+                for p in pending:
+                    new_mmtm, out = self._eval_step(self.state, p["batch"], avg_maps)
+                    self.state = self.state.replace(mmtm=new_mmtm)
+                    records.append(
+                        {"out": out, "scan": 0, "size": [p["size"]], "indices": [p["indices"]]}
+                    )
+            if not t_first_dispatch:
+                t_first_dispatch = timeit.default_timer() - t0
+            pending.clear()
+
         t_mark = timeit.default_timer()
-        for batch_ind, batch in _get_step_iterator(steps, generator, put=self._put):
+        step_put = (lambda x: x) if use_scan else self._put
+        for batch_ind, batch in _get_step_iterator(steps, generator, put=step_put):
             batch_begin_time = timeit.default_timer()
             t_data += batch_begin_time - t_mark
             progress.on_batch_begin(batch_ind, {})
             size = batch.pop("size")
             indices = batch.pop("indices")
-            new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
-            self.state = self.state.replace(mmtm=new_mmtm)
-            # NOTE: no per-step copy_to_host_async here — on the remote
-            # backend it queues one slow per-buffer transfer per step and
-            # the final bulk fetch then waits behind the whole queue
-            # (measured 680 s for 150 x 57 KB).  The chunked pack in
-            # bulk_device_get moves the same data in a handful of RPCs.
-            records.append({"out": out, "size": size, "indices": np.asarray(indices)[:size]})
-            t_dispatch += timeit.default_timer() - batch_begin_time
-            if batch_ind == 1:
-                # First dispatch carries the (possibly minutes-long cold)
-                # XLA compile on this backend; report it apart so steady-
-                # state dispatch isn't misread as backpressure.
-                t_first_dispatch = t_dispatch
+            entry = {"batch": batch, "size": size, "indices": np.asarray(indices)[:size]}
             batch_logs = {
                 "batch": batch_ind,
                 "size": size,
                 "batch_begin_time": batch_begin_time,
-                "loss": out["loss"],
-                "acc": out["acc"],
             }
+            if use_scan:
+                pending.append(entry)
+                if len(pending) == K or batch_ind == steps:
+                    flush_pending()
+            else:
+                new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
+                self.state = self.state.replace(mmtm=new_mmtm)
+                records.append(
+                    {"out": out, "scan": 0, "size": [size], "indices": [entry["indices"]]}
+                )
+                if not t_first_dispatch:
+                    t_first_dispatch = timeit.default_timer() - batch_begin_time
+                # per-step metric handles only exist on the unscanned path
+                batch_logs["loss"] = out["loss"]
+                batch_logs["acc"] = out["acc"]
+            t_dispatch += timeit.default_timer() - batch_begin_time
             progress.on_batch_end(batch_ind, batch_logs)
             # User-callback hook per validation batch.  The reference
             # declares on_val_batch_end (src/callbacks.py:86-89,169) but
@@ -288,22 +351,36 @@ class Trainer:
                 callback_list.on_val_batch_end(batch_ind, batch_logs)
             t_mark = timeit.default_timer()
             t_render += t_mark - batch_begin_time
+        flush_pending()  # ragged tail when the generator ran short of `steps`
 
         t_fetch0 = timeit.default_timer()
-        outs = bulk_device_get([r["out"] for r in records])
+        fetched = bulk_device_get([r["out"] for r in records])
+        # Explode scan groups into per-step entries so everything below is
+        # grouping-agnostic.
+        outs, sizes_list, indices_list = [], [], []
+        for rec, out in zip(records, fetched):
+            if rec["scan"]:
+                outs.extend(
+                    {k: v[i] for k, v in out.items()} for i in range(rec["scan"])
+                )
+            else:
+                outs.append(out)
+            sizes_list.extend(rec["size"])
+            indices_list.extend(rec["indices"])
         logger.info(
             "%s pass timing: data-wait %.1fs, dispatch %.1fs (first %.1fs), "
-            "render+hooks %.1fs, final fetch %.1fs",
+            "render+hooks %.1fs, final fetch %.1fs%s",
             phase, t_data, t_dispatch, t_first_dispatch,
             max(t_render - t_dispatch, 0.0), timeit.default_timer() - t_fetch0,
+            f", scan groups of {K}" if use_scan else "",
         )
-        sizes = np.array([r["size"] for r in records], np.float64)
+        sizes = np.array(sizes_list, np.float64)
         total = max(sizes.sum(), 1.0)
         losses = np.array([o["loss"] for o in outs], np.float64)
 
         info = {
             f"{phase}_loss": float((losses * sizes).sum() / total),
-            f"{phase}_indices": np.concatenate([r["indices"] for r in records]) if records else [],
+            f"{phase}_indices": np.concatenate(indices_list) if indices_list else [],
             f"{phase}_acc": float((np.array([o["acc"] for o in outs]) * sizes).sum() / total),
         }
         for i in range(self.nummodalities):
@@ -333,10 +410,10 @@ class Trainer:
         # epoch->batch->mmtm->view nesting (src/framework.py:109-114 +
         # src/balanced_mmtm.py:157-176).
         for key in ("mmtmscales_list", "squeezedmaps_array_list"):
-            if records and key in outs[0]:
+            if outs and key in outs[0]:
                 per_batch = []
-                for rec, o in zip(records, outs):
-                    sz = int(rec["size"])
+                for sz, o in zip(sizes_list, outs):
+                    sz = int(sz)
                     per_batch.append([[np.asarray(v)[:sz] for v in mmtm] for mmtm in o[key]])
                 info[f"{phase}_{key}"] = per_batch
         return info

@@ -138,30 +138,27 @@ def build_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def build_eval_step(
-    model,
-    *,
-    mmtm_off: bool = False,
-    jit: bool = True,
-):
-    """Returns step(state, batch, average_squeezemaps) -> (new_mmtm, out).
+def _make_eval_core(model, mmtm_off: bool):
+    """Shared eval forward for the per-step and scanned eval programs.
 
-    ``out`` includes per-batch scales / squeeze maps when the model's
-    saving flags are set (recording mode, reference: configs/recording.gin).
+    Returns (core, record_pack_spec).  ``core(state, mmtm, batch, avg)``
+    evaluates one batch against ``mmtm`` (NOT state.mmtm, so a scan can
+    thread the running-average chain) and returns (new_mmtm, out).
+
+    record_pack_spec is the trace-time pack layout for recording outputs:
+    (key, mmtm_idx, view_idx, shape) per packed leaf.  Shapes are static
+    under jit, so the spec is identical for every call and for both the
+    per-step and scanned programs built on the same core.
     """
-
-    # Trace-time pack spec for recording outputs: (key, mmtm_idx, view_idx,
-    # shape) per packed leaf, populated on first trace.  Shapes are static
-    # under jit, so the spec is identical for every call.
     record_pack_spec: list = []
 
-    def eval_step(state, batch, average_squeezemaps):
+    def core(state, mmtm, batch, average_squeezemaps):
         x = preprocess(batch["images"], train=False, dtype=model.dtype)
         mask = batch["mask"]
         labels = batch["labels"]
         ctrl = state.controller
         (blend, logits, scales, squeezes), mut = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats, "mmtm": state.mmtm},
+            {"params": state.params, "batch_stats": state.batch_stats, "mmtm": mmtm},
             x,
             ctrl.curation_mode,
             ctrl.caring_modality,
@@ -187,18 +184,76 @@ def build_eval_step(
         ):
             if not enabled:
                 continue
-            for mi, mmtm in enumerate(val):
-                for vi, arr in enumerate(mmtm):
+            for mi, mmtm_arrs in enumerate(val):
+                for vi, arr in enumerate(mmtm_arrs):
                     record_pack_spec.append((key, mi, vi, tuple(arr.shape)))
                     packed_leaves.append(jnp.ravel(arr.astype(jnp.float32)))
         if packed_leaves:
             out["packed_records"] = jnp.concatenate(packed_leaves)
         return mut["mmtm"], out
 
+    return core, record_pack_spec
+
+
+def build_eval_step(
+    model,
+    *,
+    mmtm_off: bool = False,
+    jit: bool = True,
+    core_and_spec=None,
+):
+    """Returns step(state, batch, average_squeezemaps) -> (new_mmtm, out).
+
+    ``out`` includes per-batch scales / squeeze maps when the model's
+    saving flags are set (recording mode, reference: configs/recording.gin),
+    packed into ``out['packed_records']`` per ``step.record_pack_spec``.
+    """
+    core, record_pack_spec = core_and_spec or _make_eval_core(model, mmtm_off)
+
+    def eval_step(state, batch, average_squeezemaps):
+        return core(state, state.mmtm, batch, average_squeezemaps)
+
     stepper = eval_step if not jit else jax.jit(eval_step)
 
     def wrapped(state, batch, average_squeezemaps):
         return stepper(state, batch, average_squeezemaps)
+
+    wrapped.record_pack_spec = record_pack_spec
+    return wrapped
+
+
+def build_scanned_eval_step(
+    model,
+    *,
+    mmtm_off: bool = False,
+    jit: bool = True,
+    core_and_spec=None,
+):
+    """Returns scan_step(state, stacked_batch, average_squeezemaps) ->
+    (new_mmtm, outs): K batches evaluated in ONE dispatch.
+
+    ``stacked_batch`` leaves carry a leading scan axis: images (K, B, ...),
+    labels (K, B), mask (K, B).  The MMTM running-average chain threads
+    through ``lax.scan`` exactly as K sequential per-step calls would
+    (quirk #6 ordering preserved); ``outs`` leaves gain a leading K axis.
+
+    Motivation: on a remote backend every per-step dispatch is a link
+    round trip (~0.7 s each in degraded windows — PERF.md); scanning
+    amortizes one dispatch and one H2D upload over K steps.
+    """
+    core, record_pack_spec = core_and_spec or _make_eval_core(model, mmtm_off)
+
+    def scan_step(state, stacked_batch, average_squeezemaps):
+        def body(mmtm, batch):
+            return core(state, mmtm, batch, average_squeezemaps)
+
+        new_mmtm, outs = jax.lax.scan(body, state.mmtm, stacked_batch)
+        return new_mmtm, outs
+
+    stepper = scan_step if not jit else jax.jit(scan_step)
+
+    def wrapped(state, stacked_batch, average_squeezemaps):
+        return stepper(state, stacked_batch, average_squeezemaps)
 
     wrapped.record_pack_spec = record_pack_spec
     return wrapped

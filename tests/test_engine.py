@@ -306,3 +306,53 @@ def test_eval_step_packed_records_match_model_outputs():
     assert offset == flat.size  # spec covers the whole payload
     # every mmtm/view pair of both payload kinds is present exactly once
     assert len(seen) == 2 * len(scales) * len(scales[0])
+
+
+def test_scanned_eval_pass_matches_per_step():
+    """_eval_generator with scan groups must equal the per-step path:
+    metrics, indices order, recording payload structure/values, and the
+    final MMTM running-average state (quirk #6 chain)."""
+    from greedy_multimodal_learning_tpu.data.pipeline import BatchPipeline
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        make_synthetic_modelnet(root, n_train=8, n_test=28, num_views=2, image_size=16, nclasses=4)
+        from greedy_multimodal_learning_tpu.data import MultiviewModelNet
+
+        ds = MultiviewModelNet(root, "test", specific_view=[0, 1])
+        model = MMTMMVCNN(nclasses=4, num_towers=2, saving_mmtm_squeeze_array=True)
+        opt = make_optimizer(lr=0.1)
+
+        def run(scan_size):
+            state = create_train_state(
+                model, opt, jax.random.PRNGKey(0), jnp.zeros((4, 2, 16, 16, 3))
+            )
+            tr = Trainer(model=model, optimizer=opt, state=state, nummodalities=2)
+            tr.eval_scan_size = scan_size
+            if scan_size <= 1:
+                tr._eval_scan_step = None  # force the per-step path
+            pipe = BatchPipeline(ds, list(range(len(ds))), batch_size=4, shuffle=False)
+            info = tr._eval_generator(pipe, "test")  # 28 samples / B4 = 7 steps
+            return info, jax.device_get(tr.state.mmtm)
+
+        base, mmtm_base = run(1)
+        scan, mmtm_scan = run(3)  # 2 groups of 3 + ragged tail of 1
+
+        assert base.keys() == scan.keys()
+        np.testing.assert_array_equal(base["test_indices"], scan["test_indices"])
+        for k in ("test_loss", "test_acc", "test_acc_modal_0", "test_acc_modal_1"):
+            np.testing.assert_allclose(base[k], scan[k], rtol=1e-6)
+        b, s = base["test_squeezedmaps_array_list"], scan["test_squeezedmaps_array_list"]
+        assert len(b) == len(s) == 7
+        for bb, ss in zip(b, s):
+            for bm, sm in zip(bb, ss):
+                for bv, sv in zip(bm, sm):
+                    np.testing.assert_allclose(bv, sv, rtol=1e-5, atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-7),
+            mmtm_base,
+            mmtm_scan,
+        )
