@@ -25,6 +25,7 @@ def tree_to_numpy(tree):
 
 
 _PACK_CHUNK = 128
+_PACK_MIN_LEAVES = 256
 
 
 @_functools.lru_cache(maxsize=256)
@@ -62,6 +63,23 @@ def bulk_device_get(tree):
     device_ix = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
     if not device_ix:
         return jax.tree_util.tree_map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
+
+    # Below this leaf count, packing cannot pay: each packer signature
+    # costs an XLA compile, and on the remote backend a compile in a
+    # degraded window costs 10-30 MINUTES (a 15-operand concat measured
+    # 1,746 s fetch for a few KB of scalars).  Few-leaf fetches instead
+    # start all D2H copies async (overlapped) and read them back plainly —
+    # zero compiles.  Packing remains for high-leaf-count trees (e.g. a
+    # train epoch's ~720 scalar records) where one cached compile
+    # amortizes over every subsequent epoch of the process.
+    if len(device_ix) < _PACK_MIN_LEAVES:
+        for i in device_ix:
+            if hasattr(leaves[i], "copy_to_host_async"):
+                leaves[i].copy_to_host_async()
+        out = list(leaves)
+        for i in device_ix:
+            out[i] = np.asarray(leaves[i])
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     groups = {}
     for i in device_ix:
