@@ -10,7 +10,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from greedy_multimodal_learning_tpu.utils.pytree import _PACK_CHUNK, bulk_device_get
+from greedy_multimodal_learning_tpu.utils.pytree import (
+    _PACK_CHUNK,
+    _PACK_MIN_LEAVES,
+    bulk_device_get,
+)
 
 
 def _assert_trees_equal(got, want):
@@ -25,9 +29,12 @@ def _assert_trees_equal(got, want):
 
 def test_bulk_device_get_matches_device_get_on_record_list():
     # Shaped like the recording pass: many identically-structured records,
-    # mixed dtypes, scalars, host leaves, and None.
+    # mixed dtypes, scalars, host leaves, and None.  64 records x 5 device
+    # leaves = 320 >= _PACK_MIN_LEAVES, so this exercises the *packed*
+    # path (below the threshold bulk_device_get falls back to plain
+    # overlapped fetches — covered by the few-leaf test).
     records = []
-    for r in range(37):
+    for r in range(64):
         records.append(
             {
                 "squeeze": jnp.full((8, 128), r, jnp.float32),
@@ -56,6 +63,18 @@ def test_bulk_device_get_spans_multiple_chunks():
     assert len(got) == n
     for i, g in enumerate(got):
         np.testing.assert_array_equal(g, np.full((3,), i, np.float32))
+
+
+def test_bulk_device_get_few_leaf_plain_path():
+    # Below _PACK_MIN_LEAVES the packer must not engage (each signature
+    # would cost an XLA compile); values still come back exact.
+    n = _PACK_MIN_LEAVES // 4
+    tree = {"v": [jnp.full((2,), i, jnp.float32) for i in range(n)], "s": jnp.int32(7)}
+    got = bulk_device_get(tree)
+    assert int(got["s"]) == 7
+    for i, g in enumerate(got["v"]):
+        assert isinstance(g, np.ndarray)
+        np.testing.assert_array_equal(g, np.full((2,), i, np.float32))
 
 
 def test_bulk_device_get_host_only_tree():
