@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""3-modality (3D-CNN family) run-level experiment driver.
+
+The N-modality analogue of tools/run_northstar.py (BASELINE config 4):
+guided (configs/training_3dcnn_guided.gin) vs random-curation
+(configs/training_3dcnn_random.gin) on the graded-imbalance synthetic
+clip dataset (tools/make_imbalanced_nvgesture.py), then the two-pass
+conditional-utilization pipeline (configs/recording_3dcnn.gin →
+configs/eval_3dcnn.gin) on every trained run.
+
+Produces <workdir>/northstar3d_summary.json with, per run: epochs, test
+top-1, per-modality accuracies, and the cross-modal-flow-off per-modality
+accuracies for all three modalities.
+
+Usage:  python3 tools/run_northstar3d.py WORKDIR --seeds 7 42
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+# Small-but-real scale: 10 classes, 400/150 clips, 8 frames @32^2,
+# width 0.5 — minutes per arm on one chip, still imbalanced enough that
+# greedy learning visibly favors modality 0.
+DATA_ARGS = ["--n-train", "400", "--n-test", "150", "--size", "32", "--frames", "8", "--nclasses", "10"]
+WIDTH = 0.5
+EPOCHS_DEFAULT = 60
+
+
+def sh(cmd, log_path):
+    print(f"+ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
+    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
+    return proc.returncode
+
+
+def train_complete(run_dir, n_epochs):
+    hist = os.path.join(run_dir, "history.csv")
+    if not os.path.exists(hist):
+        return False
+    import pandas as pd
+
+    df = pd.read_csv(hist)
+    if len(df) == 0:
+        return False
+    if int(df["epoch"].iloc[-1]) >= n_epochs - 1:
+        return True
+    return int((df["acc"] == 100.0).sum()) >= 5
+
+
+def summarize_run(run_dir):
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(run_dir, "history.csv"))
+    best = df.loc[df["val_acc"].idxmax()]
+    out = {
+        "epochs_run": int(df["epoch"].iloc[-1]),
+        "best_val_epoch": int(best["epoch"]),
+        "best_val_acc": float(best["val_acc"]),
+        "test_acc": float(best["test_acc"]),
+        "final_train_acc": float(df["acc"].iloc[-1]),
+    }
+    for m in range(3):
+        out[f"test_acc_modal_{m}"] = float(best[f"test_acc_modal_{m}"])
+        out[f"final_train_acc_modal_{m}"] = float(df[f"acc_modal_{m}"].iloc[-1])
+    return out
+
+
+def read_mmtm_off(run_dir):
+    import pandas as pd
+
+    csv = os.path.join(run_dir, "mmtm_off_eval", "eval_history_batch", "history.csv")
+    row = pd.read_csv(csv).iloc[-1]
+    out = {"flowoff_test_acc": float(row["test_acc"])}
+    for m in range(3):
+        out[f"flowoff_test_acc_modal_{m}"] = float(row[f"test_acc_modal_{m}"])
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir")
+    ap.add_argument("--epochs", type=int, default=EPOCHS_DEFAULT)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[7, 42])
+    ap.add_argument("--checkpoint-every", type=int, default=50)
+    args = ap.parse_args()
+
+    args.workdir = os.path.abspath(args.workdir)
+    data = os.path.join(args.workdir, "data")
+    os.makedirs(args.workdir, exist_ok=True)
+    if not os.path.exists(os.path.join(data, "metadata.json")):
+        sh(
+            [sys.executable, "tools/make_imbalanced_nvgesture.py", data] + DATA_ARGS,
+            os.path.join(args.workdir, "datagen.log"),
+        )
+
+    summary_path = os.path.join(args.workdir, "northstar3d_summary.json")
+    summary = {}
+    if os.path.exists(summary_path):  # merge across driver invocations
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    common = (
+        f"get_nvgesturedata.root_dir='{data}'"
+        f"#MMTM_3DCNN.nclasses=10"
+        f"#MMTM_3DCNN.width_multiplier={WIDTH}"
+    )
+    for kind, config in (
+        ("guided", "configs/training_3dcnn_guided.gin"),
+        ("random", "configs/training_3dcnn_random.gin"),
+    ):
+        for seed in args.seeds:
+            name = f"{kind}_s{seed}"
+            run = os.path.join(args.workdir, name)
+            log = os.path.join(args.workdir, f"{name}.log")
+            bindings = (
+                common
+                + f"#train.seed={seed}"
+                + f"#training_loop.n_epochs={args.epochs}"
+                + f"#training_loop.checkpoint_every={args.checkpoint_every}"
+            )
+            if not train_complete(run, args.epochs):
+                if os.path.exists(os.path.join(run, "history.csv")):
+                    bindings += "#training_loop.resume=True"
+                rc = sh([sys.executable, "train.py", run, config, bindings], log)
+                if rc != 0:
+                    summary[name] = {"error": f"train rc={rc}"}
+                    continue
+
+            ckpt = os.path.join(run, "model_best_val.pt")
+            rec_bindings = common + f"#eval_.pretrained_weights_path='{ckpt}'"
+            if not os.path.exists(os.path.join(run, "eval_history_batch", "history.pickle")):
+                sh([sys.executable, "eval.py", run, "configs/recording_3dcnn.gin", rec_bindings], log)
+
+            off_dir = os.path.join(run, "mmtm_off_eval")
+            off_bindings = (
+                common
+                + f"#MMTM_3DCNN.mmtm_rescale_eval_file_path='{os.path.join(run, 'eval_history_batch')}'"
+                + f"#MMTM_3DCNN.mmtm_rescale_training_file_path='{run}'"
+                + f"#eval_.pretrained_weights_path='{ckpt}'"
+            )
+            if not os.path.exists(os.path.join(off_dir, "eval_history_batch", "history.csv")):
+                sh([sys.executable, "eval.py", off_dir, "configs/eval_3dcnn.gin", off_bindings], log)
+
+            try:
+                summary[name] = summarize_run(run)
+                summary[name].update(read_mmtm_off(run))
+            except Exception as e:
+                summary[name] = {"error": repr(e)}
+            with open(summary_path, "w") as f:
+                json.dump(summary, f, indent=2)
+            print(json.dumps({name: summary[name]}, indent=2), flush=True)
+
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
