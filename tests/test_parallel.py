@@ -104,3 +104,59 @@ def test_tp4_mesh():
     with mesh:
         sh_state, out = step(sh_state, shard_batch(batches[0], mesh), jnp.asarray(True))
     assert np.isfinite(float(out["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_3d_step_matches_single_device():
+    """3-modality 3D-CNN family under dp=4 x tp=2: the sharding rules are
+    shape-driven and must place 5-D conv kernels (kt, kh, kw, cin, cout)
+    exactly like 4-D ones; the sharded trajectory must match the
+    single-device one.  min_shard_dim=64 so the width-0.25 trunks still
+    exercise TP."""
+    from greedy_multimodal_learning_tpu.models import MMTM3DCNN
+
+    batch, frames, image = 8, 2, 16
+    model = MMTM3DCNN(nclasses=4, num_towers=3, width_multiplier=0.25)
+    optimizer = make_optimizer(lr=0.1)
+    sample = jnp.zeros((batch, 3, frames, image, image, 3), jnp.float32)
+    state0 = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample, num_modalities=3)
+    gm = build_group_matrix(
+        state0.params, ["net_view_0", "net_view_1", "net_view_2"], ["rgb", "depth", "flow"]
+    )
+    ctrl = make_controller_update("guided", 3, epsilon=0.01, curation_windowsize=5)
+    step = build_train_step(model, optimizer, gm, ctrl, donate=False)
+    rng = np.random.default_rng(3)
+    batches = [
+        {
+            "images": rng.integers(0, 255, (batch, 3, frames, image, image, 3), dtype=np.uint8),
+            "labels": rng.integers(0, 4, (batch,)).astype(np.int32),
+            "indices": np.arange(batch, dtype=np.int32),
+            "mask": np.ones((batch,), np.float32),
+        }
+        for _ in range(2)
+    ]
+
+    s = state0
+    ref_losses = []
+    for b in batches:
+        s, out = step(s, b, jnp.asarray(True))
+        ref_losses.append(float(out["loss"]))
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    sh_state = shard_train_state(state0, mesh, min_shard_dim=64)
+    # the widest 3D kernels must actually land on the model axis
+    from greedy_multimodal_learning_tpu.utils.pytree import tree_paths
+
+    assert any(
+        leaf.ndim == 5 and getattr(leaf.sharding, "spec", None) is not None
+        and "model" in tuple(leaf.sharding.spec)
+        for _, leaf in tree_paths(sh_state.params)
+        if hasattr(leaf, "sharding")
+    )
+    sh_losses = []
+    with mesh:
+        for b in batches:
+            sh_state, out = step(sh_state, shard_batch(b, mesh), jnp.asarray(True))
+            sh_losses.append(float(out["loss"]))
+
+    np.testing.assert_allclose(sh_losses, ref_losses, rtol=1e-4)
