@@ -106,3 +106,49 @@ def test_analyze_northstar_statistics(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "flow-off weak-modality" in r.stdout
     assert "| guided s1 |" in r.stdout and "| random s1 |" in r.stdout
+
+
+def test_analyze_and_plot_northstar3d(tmp_path):
+    """3-modality suite analyzer + figure tool run end-to-end on a
+    miniature northstar3d_summary.json (the outputs of
+    tools/run_northstar3d.py)."""
+    import pandas as pd
+
+    def run3d(epochs, m1_off, m2_off):
+        return {
+            "epochs_run": epochs, "best_val_epoch": epochs - 1,
+            "best_val_acc": 100.0, "test_acc": 99.0, "final_train_acc": 100.0,
+            "test_acc_modal_0": 100.0, "final_train_acc_modal_0": 100.0,
+            "test_acc_modal_1": 92.0, "final_train_acc_modal_1": 98.0,
+            "test_acc_modal_2": 99.0, "final_train_acc_modal_2": 99.5,
+            "flowoff_test_acc": 97.0, "flowoff_test_acc_modal_0": 100.0,
+            "flowoff_test_acc_modal_1": m1_off, "flowoff_test_acc_modal_2": m2_off,
+        }
+
+    summary = {
+        "guided_s1": run3d(20, 85.0, 18.0), "guided_s2": run3d(22, 80.0, 16.0),
+        "random_s1": run3d(26, 50.0, 12.0), "random_s2": run3d(28, 55.0, 11.0),
+        "random_s3": {"error": "train rc=1"},  # must be excluded, not crash
+    }
+    (tmp_path / "northstar3d_summary.json").write_text(json.dumps(summary))
+    for name in ("guided_s1", "random_s1"):
+        pd.DataFrame({
+            "epoch": [1, 2, 3], "acc_modal_1": [40.0, 70.0, 95.0],
+            "acc_modal_2": [10.0, 30.0, 60.0],
+        }).to_csv(tmp_path / f"{name}_history.csv", index=False)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/analyze_northstar3d.py", str(tmp_path / "northstar3d_summary.json")],
+        cwd=repo, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "runs: 2 guided, 2 random" in r.stdout
+    assert "flow-off depth (modality 1)" in r.stdout
+    assert "flow-off flow (modality 2)" in r.stdout
+    assert "| guided s1 |" in r.stdout and "| random s2 |" in r.stdout
+
+    r = subprocess.run(
+        [sys.executable, "tools/plot_northstar3d.py", str(tmp_path), "-o", str(tmp_path / "fig.png")],
+        cwd=repo, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "fig.png").stat().st_size > 10_000
