@@ -252,6 +252,83 @@ class Bias_Mitigation_Random(_BalancingControllerBase):
 
 
 @cfg.configurable
+class Bias_Mitigation_Weakest(_BalancingControllerBase):
+    """Weakest-modality curation — an N-modality extension with no
+    reference counterpart.
+
+    The reference's guided criterion curates the modality with the largest
+    BDR deviation (relative bypass-reliance).  The committed 3-modality
+    suite (RESULTS.md) shows that under graded N>2 imbalance the test-weak
+    modality can memorize its noisy training signal through its own trunk
+    and never become the BDR argmax, so guided curation misses it.  This
+    controller targets weakness directly: after every epoch it designates
+    the modality with the *lowest held-out per-modality accuracy*
+    (``monitor='val'``; falls back to train metrics when no val split
+    exists, e.g. ``valid_size=0``) and curates it on a fixed duty cycle —
+    ``curation_windowsize`` curated steps out of every ``duty_period``
+    unlocked steps.  The in-step mechanics live in
+    :func:`~.controller.weakest_update`.
+    """
+
+    controller_kind = "weakest"
+
+    def __init__(
+        self,
+        epsilon=0.0,  # accepted for gin-surface symmetry; unused
+        curation_windowsize=5,
+        duty_period=10,
+        starting_epoch=2,
+        branchnames=("net_view_0", "net_view_1"),
+        MMTMnames=("visual", "skeleton"),
+        monitor="val",
+    ):
+        if duty_period < 1 or curation_windowsize < 1:
+            raise ValueError("duty_period and curation_windowsize must be >= 1")
+        if curation_windowsize > duty_period:
+            raise ValueError(
+                f"curation_windowsize ({curation_windowsize}) must not exceed "
+                f"duty_period ({duty_period}) — that would curate every step"
+            )
+        if monitor not in ("val", "train"):
+            raise ValueError(f"monitor must be 'val' or 'train', got {monitor!r}")
+        self.curation_windowsize = curation_windowsize
+        self.duty_period = duty_period
+        self.starting_epoch = starting_epoch
+        self.branchnames = list(branchnames)
+        self.MMTMnames = list(MMTMnames)
+        self.monitor = monitor
+
+    def controller_config(self):
+        return dict(
+            curation_windowsize=self.curation_windowsize,
+            duty_period=self.duty_period,
+            branchnames=self.branchnames,
+            mmtm_names=self.MMTMnames,
+            starting_epoch=self.starting_epoch,
+        )
+
+    def on_train_begin(self, logs):
+        # A resume restores the controller sidecar (including the designated
+        # target); only clear the target when the state was actually reset.
+        resumed = getattr(self.model_pytoune, "_skip_next_controller_reset", False)
+        super().on_train_begin(logs)
+        if not resumed:
+            self.model_pytoune.set_controller_target(-1)
+
+    def on_epoch_begin(self, epoch, logs):
+        if epoch >= self.starting_epoch:
+            self.model_pytoune.unlock_controller()
+
+    def on_epoch_end(self, epoch, logs):
+        n = self.model_pytoune.nummodalities
+        prefix = "val_" if self.monitor == "val" and "val_acc_modal_0" in logs else ""
+        accs = [logs.get(f"{prefix}acc_modal_{i}") for i in range(n)]
+        if any(a is None for a in accs):
+            return
+        self.model_pytoune.set_controller_target(int(np.argmin(accs)))
+
+
+@cfg.configurable
 class CompletedStopping(Callback):
     """Stop when the monitored metric hits exactly 100 for ``patience``
     (cumulative, not consecutive — mirroring the reference's counter that

@@ -119,6 +119,62 @@ def guided_update(
     )
 
 
+def weakest_update(
+    state: ControllerState,
+    gn: jnp.ndarray,
+    wn: jnp.ndarray,
+    unlock,
+    *,
+    curation_windowsize: int,
+    duty_period: int,
+) -> ControllerState:
+    """Weakest-modality curation (N-modality extension; no reference
+    counterpart).
+
+    Motivated by the committed 3-modality finding (RESULTS.md): the
+    reference's BDR criterion targets *relative bypass-reliance*, which
+    under graded N>2 imbalance never fires for a modality that memorizes
+    its noisy training signal through its own trunk.  Here the *host*
+    designates the curation target once per epoch — the modality with the
+    lowest held-out per-modality accuracy (``Bias_Mitigation_Weakest``
+    writes it into ``caring_modality`` via ``Trainer.set_controller_target``;
+    -1 = no target yet) — and the device side curates that target on a
+    fixed duty cycle: ``curation_windowsize`` steps on out of every
+    ``duty_period`` unlocked steps.
+
+    BDR accumulators still advance every step and ``d_BDR`` is still
+    computed, purely as telemetry for mechanism comparisons against the
+    guided controller; they play no part in the decision.
+    """
+    n = state.M_main.shape[0]
+    M_main = state.M_main + gn[:n] / wn[:n]
+    M_bypass = state.M_bypass + gn[n:] / wn[n:]
+    bdr = jnp.log10(M_bypass / M_main)
+    if n == 2:
+        d_bdr = bdr[0] - bdr[1]
+    else:
+        mean_others = (jnp.sum(bdr) - bdr) / (n - 1)
+        d_bdr = jnp.max(bdr - mean_others)
+
+    target = state.caring_modality  # host-set; persists across steps
+    phase = jnp.mod(state.curation_step, duty_period)
+    curation_mode = jnp.logical_and(
+        unlock,
+        jnp.logical_and(target >= 0, phase < curation_windowsize),
+    )
+    curation_step = jnp.where(unlock, state.curation_step + 1, state.curation_step)
+
+    return ControllerState(
+        M_main=M_main,
+        M_bypass=M_bypass,
+        curation_mode=curation_mode,
+        caring_modality=target,
+        curation_step=curation_step,
+        d_BDR=d_bdr,
+        rng=state.rng,
+    )
+
+
 def random_update(
     state: ControllerState,
     gn: jnp.ndarray,

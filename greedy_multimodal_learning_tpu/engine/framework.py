@@ -130,7 +130,9 @@ class Trainer:
                     f"check branchnames/mmtm_names against the parameter tree"
                 )
         ctrl_update = make_controller_update(controller_kind, nummodalities, **{
-            k: v for k, v in self.controller_config.items() if k in ("epsilon", "curation_windowsize")
+            k: v
+            for k, v in self.controller_config.items()
+            if k in ("epsilon", "curation_windowsize", "duty_period")
         })
         self._train_step = build_train_step(model, optimizer, group_matrix, ctrl_update, jit=jit) if optimizer is not None else None
         eval_core = _make_eval_core(model, mmtm_off)
@@ -170,6 +172,17 @@ class Trainer:
 
     def unlock_controller(self):
         self._unlock = True
+
+    def set_controller_target(self, modality: int):
+        """Host-designated curation target (weakest controller): written
+        into ``caring_modality``, which :func:`~.controller.weakest_update`
+        preserves across steps.  -1 means no target designated yet."""
+        ctrl = self.state.controller
+        self.state = self.state.replace(
+            controller=ctrl.replace(
+                caring_modality=jnp.asarray(int(modality), jnp.int32)
+            )
+        )
 
     def get_lr(self):
         return get_learning_rate(self.state)

@@ -37,7 +37,7 @@ import optax
 
 from ..data.transforms import preprocess
 from .bdr import group_sq_norms
-from .controller import guided_update, null_update, random_update
+from .controller import guided_update, null_update, random_update, weakest_update
 from .metrics import blend_and_per_view_acc, blend_loss
 
 
@@ -50,6 +50,12 @@ def make_controller_update(kind: str, num_modalities: int, **kwargs) -> Callable
         )
     if kind == "random":
         return functools.partial(random_update, num_modalities=num_modalities)
+    if kind == "weakest":
+        return functools.partial(
+            weakest_update,
+            curation_windowsize=kwargs["curation_windowsize"],
+            duty_period=kwargs["duty_period"],
+        )
     return null_update
 
 

@@ -13,6 +13,7 @@ from greedy_multimodal_learning_tpu.engine.controller import (
     guided_update,
     init_controller_state,
     random_update,
+    weakest_update,
 )
 
 
@@ -174,6 +175,147 @@ def test_n3_controller_generalization():
     state = guided_update(state, gn, wn, jnp.asarray(True), epsilon=0.01, curation_windowsize=2)
     assert bool(state.curation_mode)
     assert int(state.caring_modality) == 2
+
+
+def test_weakest_controller_duty_cycle():
+    """Weakest-modality curation (N-modality extension): the host-set
+    target is curated ``curation_windowsize`` of every ``duty_period``
+    unlocked steps; no target (-1) or locked -> off; the target itself is
+    never changed by the device side."""
+    state = init_controller_state(3)
+    gn = jnp.ones((6,), jnp.float32)
+    wn = jnp.ones((6,), jnp.float32)
+    step = lambda s, unlock: weakest_update(  # noqa: E731
+        s, gn, wn, jnp.asarray(unlock), curation_windowsize=2, duty_period=4
+    )
+
+    # target unset (reset leaves caring=0, the callback sets -1 at train begin)
+    state = state.replace(caring_modality=jnp.asarray(-1, jnp.int32))
+    for _ in range(4):
+        state = step(state, True)
+        assert not bool(state.curation_mode)
+    assert int(state.curation_step) == 4  # counter advances while unlocked
+
+    # locked: off, and the counter does not advance
+    state = state.replace(caring_modality=jnp.asarray(2, jnp.int32))
+    state = step(state, False)
+    assert not bool(state.curation_mode)
+    assert int(state.curation_step) == 4
+
+    # unlocked with target 2: 2-on / 2-off duty cycle, caring preserved
+    pattern = []
+    for _ in range(8):
+        state = step(state, True)
+        pattern.append(bool(state.curation_mode))
+        assert int(state.caring_modality) == 2
+    assert pattern == [True, True, False, False, True, True, False, False]
+    # telemetry still computed (balanced stats -> d_BDR 0 here)
+    assert np.isfinite(float(state.d_BDR))
+
+
+def test_weakest_callback_designates_argmin_val_modality():
+    """Bias_Mitigation_Weakest: epoch-end designates argmin of the
+    per-modality val accuracy (train fallback when no val split), clears
+    the target at train begin except on resume."""
+    from greedy_multimodal_learning_tpu.engine.callbacks import Bias_Mitigation_Weakest
+
+    class TrainerStub:
+        nummodalities = 3
+
+        def __init__(self):
+            self.targets = []
+            self.unlocked = False
+            self.resets = 0
+            self._skip_next_controller_reset = False
+
+        def set_controller_target(self, m):
+            self.targets.append(int(m))
+
+        def unlock_controller(self):
+            self.unlocked = True
+
+        def reset_controller(self):
+            self.resets += 1
+
+    cb = Bias_Mitigation_Weakest(starting_epoch=2, curation_windowsize=5, duty_period=10)
+    tr = TrainerStub()
+    cb.set_model_pytoune(tr)
+
+    cb.on_train_begin({})
+    assert tr.resets == 1 and tr.targets == [-1]
+
+    cb.on_epoch_begin(1, {})
+    assert not tr.unlocked
+    cb.on_epoch_end(
+        1,
+        {
+            "acc_modal_0": 90.0,
+            "acc_modal_1": 80.0,
+            "acc_modal_2": 70.0,
+            "val_acc_modal_0": 85.0,
+            "val_acc_modal_1": 60.0,
+            "val_acc_modal_2": 75.0,
+        },
+    )
+    assert tr.targets[-1] == 1  # val argmin, not train argmin
+
+    cb.on_epoch_begin(2, {})
+    assert tr.unlocked
+
+    # no val split: falls back to train per-modality accuracy
+    cb.on_epoch_end(2, {"acc_modal_0": 90.0, "acc_modal_1": 80.0, "acc_modal_2": 70.0})
+    assert tr.targets[-1] == 2
+
+    # incomplete logs: keep the previous target
+    n_before = len(tr.targets)
+    cb.on_epoch_end(3, {"acc_modal_0": 90.0})
+    assert len(tr.targets) == n_before
+
+    # resume path: the restored target must not be wiped
+    tr2 = TrainerStub()
+    tr2._skip_next_controller_reset = True
+    cb.set_model_pytoune(tr2)
+    cb.on_train_begin({})
+    assert tr2.targets == []
+
+    with pytest.raises(ValueError, match="must not exceed"):
+        Bias_Mitigation_Weakest(curation_windowsize=11, duty_period=10)
+
+
+def test_weakest_trainer_end_to_end(tmp_path):
+    """A short train_loop with controller_kind='weakest': the epoch-end
+    designation reaches the device state and curation actually fires in
+    epoch 2+ telemetry."""
+    from greedy_multimodal_learning_tpu.data import BatchPipeline, MultiviewModelNet
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.callbacks import Bias_Mitigation_Weakest
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    root = make_synthetic_modelnet(
+        str(tmp_path / "d"), n_train=8, n_test=4, num_views=2, image_size=16, nclasses=4
+    )
+    ds = MultiviewModelNet(root, "train", specific_view=[0, 1])
+    pipe = BatchPipeline(ds, range(8), batch_size=4, shuffle=False, prefetch=0)
+    model = MMTMMVCNN(nclasses=4, num_towers=2)
+    opt = make_optimizer(lr=0.01)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((4, 2, 16, 16, 3)))
+    cb = Bias_Mitigation_Weakest(
+        starting_epoch=2, curation_windowsize=2, duty_period=4, monitor="train"
+    )
+    tr = Trainer(
+        model=model,
+        optimizer=opt,
+        state=state,
+        controller_kind=cb.controller_kind,
+        controller_config=cb.controller_config(),
+        verbose=False,
+    )
+    tr.train_loop(pipe, epochs=3, steps_per_epoch=len(pipe), callbacks=[cb])
+    # after epoch 1's end a target is designated; epoch 2+ steps curate on
+    # the duty cycle — device state must reflect it
+    assert int(tr.state.controller.caring_modality) >= 0
+    assert int(tr.state.controller.curation_step) > 0
 
 
 def test_reset_controller_preserves_seeded_rng():

@@ -30,11 +30,15 @@ from analyze_northstar import arm, fmt, mann_whitney_u, permutation_pvalue  # no
 _MC_SAMPLES = 400_000
 
 
+ARMS = ("guided", "random", "weakest")
+
+
 def main():
     with open(sys.argv[1]) as f:
         summary = json.load(f)
-    guided, random_ = arm(summary, "guided"), arm(summary, "random")
-    print(f"runs: {len(guided)} guided, {len(random_)} random\n")
+    arms = {name: arm(summary, name) for name in ARMS}
+    arms = {name: runs for name, runs in arms.items() if runs}
+    print("runs: " + ", ".join(f"{len(r)} {n}" for n, r in arms.items()) + "\n")
 
     comparisons = [
         ("flow-off depth (modality 1) test acc", "flowoff_test_acc_modal_1", "higher"),
@@ -43,6 +47,12 @@ def main():
         ("epochs to CompletedStopping", "epochs_run", "lower"),
         ("test top-1 @ best val", "test_acc", "higher"),
         ("final train acc, flow (modality 2)", "final_train_acc_modal_2", "higher"),
+    ]
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ARMS)
+        for b in ARMS[i + 1 :]
+        if a in arms and b in arms
     ]
     for label, key, better in comparisons:
         if key is None:
@@ -53,20 +63,29 @@ def main():
             )
         else:
             getter = lambda r, k=key: r.get(k)  # noqa: E731
-        g = [v for v in (getter(r) for r in guided.values()) if v is not None]
-        r = [v for v in (getter(r) for r in random_.values()) if v is not None]
-        if not g or not r:
+        vals = {
+            name: [v for v in (getter(r) for r in runs.values()) if v is not None]
+            for name, runs in arms.items()
+        }
+        if not any(vals.values()):
             continue
-        p, exact = permutation_pvalue(g, r)
-        u, auc = mann_whitney_u(g, r)
-        kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
         print(f"## {label}  ({better} is better)")
-        print(f"  guided ({len(g)}): {fmt(sorted(g))}   mean {np.mean(g):.4g}")
-        print(f"  random ({len(r)}): {fmt(sorted(r))}   mean {np.mean(r):.4g}")
-        print(
-            f"  mean diff {np.mean(g) - np.mean(r):+.4g}; {kind} permutation p = {p:.4g}; "
-            f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})\n"
-        )
+        for name, v in vals.items():
+            if v:
+                print(f"  {name} ({len(v)}): {fmt(sorted(v))}   mean {np.mean(v):.4g}")
+        for a, b in pairs:
+            g, r = vals.get(a), vals.get(b)
+            if not g or not r:
+                continue
+            p, exact = permutation_pvalue(g, r)
+            u, auc = mann_whitney_u(g, r)
+            kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
+            print(
+                f"  {a} vs {b}: mean diff {np.mean(g) - np.mean(r):+.4g}; "
+                f"{kind} permutation p = {p:.4g}; "
+                f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})"
+            )
+        print()
 
     print("## per-run table (markdown)")
     print(
@@ -74,7 +93,7 @@ def main():
         "flow-off m0 | flow-off m1 | flow-off m2 |"
     )
     print("|---|---:|---:|---:|---:|---:|---:|")
-    for name, r in list(guided.items()) + list(random_.items()):
+    for name, r in [(n, r) for runs in arms.values() for n, r in runs.items()]:
         print(
             f"| {name.replace('_s', ' s')} | {r['epochs_run']} | {r['test_acc']:g} | "
             f"{r['test_acc_modal_1']:g} / {r['test_acc_modal_2']:g} | "

@@ -91,6 +91,14 @@ def main():
     ap.add_argument("workdir")
     ap.add_argument("--epochs", type=int, default=EPOCHS_DEFAULT)
     ap.add_argument("--seeds", type=int, nargs="+", default=[7, 42])
+    ap.add_argument(
+        "--arms",
+        nargs="+",
+        default=["guided", "random"],
+        choices=["guided", "random", "weakest"],
+        help="which controller arms to run (weakest = Bias_Mitigation_Weakest, "
+        "the N-modality extension — see configs/training_3dcnn_weakest.gin)",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=50)
     args = ap.parse_args()
 
@@ -114,10 +122,12 @@ def main():
         f"#MMTM_3DCNN.nclasses=10"
         f"#MMTM_3DCNN.width_multiplier={WIDTH}"
     )
-    for kind, config in (
-        ("guided", "configs/training_3dcnn_guided.gin"),
-        ("random", "configs/training_3dcnn_random.gin"),
-    ):
+    arm_configs = {
+        "guided": "configs/training_3dcnn_guided.gin",
+        "random": "configs/training_3dcnn_random.gin",
+        "weakest": "configs/training_3dcnn_weakest.gin",
+    }
+    for kind, config in ((k, arm_configs[k]) for k in args.arms):
         for seed in args.seeds:
             name = f"{kind}_s{seed}"
             run = os.path.join(args.workdir, name)
