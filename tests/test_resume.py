@@ -115,3 +115,52 @@ def test_resume_with_checkpoint_every_truncates_history(tmp_path):
         H = pickle.load(f)
     assert len(H["train_indices"]) == len(H["epoch"]) == 7
     cfg.clear_config()
+
+
+def test_resume_weakest_controller_target_preserved(tmp_path):
+    """Weakest-controller resume: the host-designated curation target is
+    restored from the controller sidecar (Bias_Mitigation_Weakest must not
+    wipe it at train begin), so a resumed run matches an uninterrupted one."""
+    root = make_synthetic_modelnet(str(tmp_path / "data"), n_train=8, n_test=4, num_views=2, image_size=32)
+    from train import train
+
+    def bind(n_epochs, resume=False):
+        cfg.clear_config()
+        cfg.parse_config(
+            f"""
+            MMTM_MVCNN.num_views = 2
+            MMTM_MVCNN.nclasses = 4
+            get_mvdcndata.root_dir = '{root}'
+            get_mvdcndata.num_views = 2
+            get_mvdcndata.specific_views = [0, 1]
+            train.batch_size = 4
+            train.lr = 0.05
+            train.callbacks = ['Bias_Mitigation_Weakest']
+            Bias_Mitigation_Weakest.starting_epoch = 1
+            Bias_Mitigation_Weakest.curation_windowsize = 2
+            Bias_Mitigation_Weakest.duty_period = 4
+            training_loop.n_epochs = {n_epochs}
+            training_loop.resume = {resume}
+            """
+        )
+
+    save = str(tmp_path / "run")
+    os.makedirs(save)
+    bind(n_epochs=3)
+    train(save)
+    df1 = pd.read_csv(os.path.join(save, "history.csv"))
+    assert df1["epoch"].tolist() == [1, 2]
+
+    bind(n_epochs=5, resume=True)
+    train(save)
+    df2 = pd.read_csv(os.path.join(save, "history.csv"))
+    assert df2["epoch"].tolist() == [1, 2, 3, 4]
+
+    save_full = str(tmp_path / "run_full")
+    os.makedirs(save_full)
+    bind(n_epochs=5)
+    train(save_full)
+    df3 = pd.read_csv(os.path.join(save_full, "history.csv"))
+    np.testing.assert_allclose(df2["loss"], df3["loss"], rtol=1e-5)
+    np.testing.assert_allclose(df2["val_acc"], df3["val_acc"], rtol=1e-6)
+    cfg.clear_config()
