@@ -24,9 +24,12 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import pandas as pd
 
-# Reference data-viz palette (validated adjacent pair) + chrome, light mode
+# Reference data-viz palette (validated categorical slots 1-3) + chrome,
+# light mode.  Fixed assignment: guided=slot 1, random=slot 2, weakest=slot 3.
 C_GUIDED = "#2a78d6"  # series 1: blue
 C_RANDOM = "#eb6834"  # series 2: orange
+C_WEAKEST = "#1baf7a"  # series 3: aqua
+ARM_COLORS = {"guided": C_GUIDED, "random": C_RANDOM, "weakest": C_WEAKEST}
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK2 = "#52514e"
@@ -51,11 +54,15 @@ def style_axes(ax, xlabel="", ylabel=""):
 
 
 def dot_strip(ax, rows, key, xlabel):
-    """rows: {'guided': [...], 'random': [...]}; horizontal dot strip with a
-    mean tick per arm.  Dots stack vertically when they collide."""
+    """rows: {arm_name: [...], ...}; horizontal dot strip with a mean tick
+    per arm.  Dots stack vertically when they collide.  Arms are drawn
+    bottom-up in reverse of their fixed categorical order
+    (guided/random/weakest), skipping arms absent from ``rows``."""
     style_axes(ax, xlabel=xlabel)
     ax.grid(False, axis="y")
-    for yi, (arm, color) in enumerate((("random", C_RANDOM), ("guided", C_GUIDED))):
+    arms = [a for a in ("weakest", "random", "guided") if rows.get(a)]
+    for yi, arm in enumerate(arms):
+        color = ARM_COLORS[arm]
         vals = sorted(rows[arm])
         seen = {}
         for v in vals:
@@ -72,9 +79,9 @@ def dot_strip(ax, rows, key, xlabel):
             f"mean {mean:.1f}", (mean, yi - 0.28), ha="center", va="top",
             fontsize=8.5, color=INK2,
         )
-    ax.set_yticks([0, 1])
-    ax.set_yticklabels(["random", "guided"], color=INK, fontsize=10)
-    ax.set_ylim(-0.75, 1.75)
+    ax.set_yticks(list(range(len(arms))))
+    ax.set_yticklabels(arms, color=INK, fontsize=10)
+    ax.set_ylim(-0.75, len(arms) - 0.25)
 
 
 def main():

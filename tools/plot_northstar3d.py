@@ -28,8 +28,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from plot_northstar import (  # noqa: E402
-    C_GUIDED,
-    C_RANDOM,
+    ARM_COLORS,
     GRID,
     INK,
     INK2,
@@ -37,6 +36,8 @@ from plot_northstar import (  # noqa: E402
     dot_strip,
     style_axes,
 )
+
+ARMS = ("guided", "random", "weakest")  # fixed categorical order
 
 
 def main():
@@ -51,18 +52,21 @@ def main():
 
     def arm_vals(key):
         return {
-            arm: [v[key] for k, v in summary.items() if k.startswith(arm)]
-            for arm in ("guided", "random")
+            arm: [v[key] for k, v in summary.items() if k.startswith(arm + "_s")]
+            for arm in ARMS
         }
+
+    present = [a for a in ARMS if any(k.startswith(a + "_s") for k in summary)]
 
     fig = plt.figure(figsize=(11, 7.2), facecolor=SURFACE)
     gs = fig.add_gridspec(
         2, 3, height_ratios=[1, 1.35], hspace=0.42, wspace=0.34,
         left=0.08, right=0.97, top=0.86, bottom=0.09,
     )
-    n_arm = len([k for k in summary if k.startswith("guided")])
+    n_arm = len([k for k in summary if k.startswith("guided_s")])
     fig.suptitle(
-        f"3-modality (3D-CNN) guided vs random curation — {n_arm} seeds per arm,\n"
+        f"3-modality (3D-CNN) curation criteria: {' vs '.join(present)} — "
+        f"{n_arm} seeds per arm,\n"
         "full train → record → cross-modal-flow-off pipeline",
         color=INK, fontsize=13, x=0.08, y=0.985, ha="left",
     )
@@ -89,17 +93,19 @@ def main():
     style_axes(axD, xlabel="epoch", ylabel="mean weak-modality (m1, m2) train acc (%)")
     axD.grid(True, axis="y", color=GRID, linewidth=0.8)
     for csv in sorted(glob.glob(os.path.join(args.results_dir, "*_history.csv"))):
-        arm = "guided" if os.path.basename(csv).startswith("guided") else "random"
+        arm = os.path.basename(csv).split("_s")[0]
+        if arm not in ARM_COLORS:
+            continue
         df = pd.read_csv(csv)
         weak = (df["acc_modal_1"] + df["acc_modal_2"]) / 2.0
         axD.plot(
             df["epoch"], weak,
-            color=C_GUIDED if arm == "guided" else C_RANDOM,
+            color=ARM_COLORS[arm],
             linewidth=1.6, alpha=0.45, solid_capstyle="round",
         )
     handles = [
-        plt.Line2D([], [], color=C_GUIDED, linewidth=2, label="guided"),
-        plt.Line2D([], [], color=C_RANDOM, linewidth=2, label="random"),
+        plt.Line2D([], [], color=ARM_COLORS[a], linewidth=2, label=a)
+        for a in present
     ]
     leg = axD.legend(handles=handles, loc="lower right", frameon=False, fontsize=10)
     for t in leg.get_texts():
