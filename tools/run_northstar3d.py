@@ -72,6 +72,11 @@ def summarize_run(run_dir):
     for m in range(3):
         out[f"test_acc_modal_{m}"] = float(best[f"test_acc_modal_{m}"])
         out[f"final_train_acc_modal_{m}"] = float(df[f"acc_modal_{m}"].iloc[-1])
+    # Which modality was weakest on val at each epoch end (the target the
+    # weakest controller designates; mechanism telemetry for every arm).
+    vals = df[[f"val_acc_modal_{m}" for m in range(3)]].values
+    am = vals.argmin(axis=1)
+    out["val_weakest_counts"] = [int((am == m).sum()) for m in range(3)]
     return out
 
 
