@@ -78,11 +78,21 @@ def fmt(vals, nd=4):
     return ", ".join(f"{v:.{nd}g}" if isinstance(v, float) else str(v) for v in vals)
 
 
+ARMS = ("guided", "random", "weakest")
+
+
 def main():
     with open(sys.argv[1]) as f:
         summary = json.load(f)
-    guided, random_ = arm(summary, "guided"), arm(summary, "random")
-    print(f"runs: {len(guided)} guided, {len(random_)} random\n")
+    arms = {name: arm(summary, name) for name in ARMS}
+    arms = {name: runs for name, runs in arms.items() if runs}
+    print("runs: " + ", ".join(f"{len(r)} {n}" for n, r in arms.items()) + "\n")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ARMS)
+        for b in ARMS[i + 1 :]
+        if a in arms and b in arms
+    ]
 
     for label, key, better in (
         ("flow-off weak-modality test acc (conditional utilization)", "flowoff_test_acc_modal_1", "higher"),
@@ -90,32 +100,43 @@ def main():
         ("epochs to CompletedStopping", "epochs_run", "lower"),
         ("test top-1 @ best val", "test_acc", "higher"),
     ):
-        g = [r[key] for r in guided.values() if r.get(key) is not None]
-        r = [r[key] for r in random_.values() if r.get(key) is not None]
-        if not g or not r:
+        vals = {
+            name: [r[key] for r in runs.values() if r.get(key) is not None]
+            for name, runs in arms.items()
+        }
+        if not any(vals.values()):
             continue
-        dropped = (len(guided) - len(g), len(random_) - len(r))
-        if any(dropped):
+        dropped = {name: len(arms[name]) - len(vals[name]) for name in arms}
+        if any(dropped.values()):
             # e.g. runs that never reached 90% top-1: excluding them keeps
             # only the arm's best survivors, which biases the comparison —
             # the test below is over survivors ONLY and must say so.
             print(
                 f"## {label}: WARNING — excluded runs with no value "
-                f"(guided {dropped[0]}, random {dropped[1]}); statistics cover survivors only"
+                f"({', '.join(f'{n} {d}' for n, d in dropped.items() if d)}); "
+                f"statistics cover survivors only"
             )
-        p, exact = permutation_pvalue(g, r)
-        u, auc = mann_whitney_u(g, r)
-        kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
         print(f"## {label}  ({better} is better)")
-        print(f"  guided ({len(g)}): {fmt(sorted(g))}   mean {np.mean(g):.4g}")
-        print(f"  random ({len(r)}): {fmt(sorted(r))}   mean {np.mean(r):.4g}")
-        print(f"  mean diff {np.mean(g) - np.mean(r):+.4g}; {kind} permutation p = {p:.4g}; "
-              f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})\n")
+        for name, v in vals.items():
+            if v:
+                print(f"  {name} ({len(v)}): {fmt(sorted(v))}   mean {np.mean(v):.4g}")
+        for a, b in pairs:
+            g, r = vals.get(a), vals.get(b)
+            if not g or not r:
+                continue
+            p, exact = permutation_pvalue(g, r)
+            u, auc = mann_whitney_u(g, r)
+            kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
+            print(
+                f"  {a} vs {b}: mean diff {np.mean(g) - np.mean(r):+.4g}; "
+                f"{kind} permutation p = {p:.4g}; Mann-Whitney U = {u:.1f} (AUC {auc:.3f})"
+            )
+        print()
 
     print("## per-run table (markdown)")
     print("| run | epochs | test top-1 @best-val | test weak @best-val (flow on) | final train weak | flow-off weak | steps→90% |")
     print("|---|---:|---:|---:|---:|---:|---:|")
-    for name, r in list(guided.items()) + list(random_.items()):
+    for name, r in [(n, r) for runs in arms.values() for n, r in runs.items()]:
         print(f"| {name.replace('_s', ' s')} | {r['epochs_run']} | {r['test_acc']:g} | "
               f"{r['test_acc_modal_1']:g} | {r['final_train_acc_modal_1']:.3g} | "
               f"{r['flowoff_test_acc_modal_1']:g} | {r['steps_to_90_top1']} |")

@@ -96,6 +96,14 @@ def main():
     ap.add_argument("workdir")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--seeds", type=int, nargs="+", default=[777, 1234])
+    ap.add_argument(
+        "--arms",
+        nargs="+",
+        default=["guided", "random"],
+        choices=["guided", "random", "weakest"],
+        help="controller arms to run (weakest = Bias_Mitigation_Weakest, "
+        "the framework extension — configs/training_weakest.gin)",
+    )
     ap.add_argument("--checkpoint-every", type=int, default=50)
     args = ap.parse_args()
 
@@ -112,7 +120,12 @@ def main():
     if os.path.exists(summary_path):  # merge across driver invocations
         with open(summary_path) as f:
             summary = json.load(f)
-    for kind, config in (("guided", "configs/training_guided.gin"), ("random", "configs/training_random.gin")):
+    arm_configs = {
+        "guided": "configs/training_guided.gin",
+        "random": "configs/training_random.gin",
+        "weakest": "configs/training_weakest.gin",
+    }
+    for kind, config in ((k, arm_configs[k]) for k in args.arms):
         for seed in args.seeds:
             name = f"{kind}_s{seed}"
             run = os.path.join(args.workdir, name)
