@@ -284,10 +284,11 @@ class Bias_Mitigation_Weakest(_BalancingControllerBase):
     ):
         if duty_period < 1 or curation_windowsize < 1:
             raise ValueError("duty_period and curation_windowsize must be >= 1")
-        if curation_windowsize > duty_period:
+        if curation_windowsize >= duty_period:
             raise ValueError(
-                f"curation_windowsize ({curation_windowsize}) must not exceed "
-                f"duty_period ({duty_period}) — that would curate every step"
+                f"curation_windowsize ({curation_windowsize}) must be smaller "
+                f"than duty_period ({duty_period}) — equal or larger would "
+                f"curate every unlocked step"
             )
         if monitor not in ("val", "train"):
             raise ValueError(f"monitor must be 'val' or 'train', got {monitor!r}")

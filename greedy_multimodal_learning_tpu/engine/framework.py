@@ -116,17 +116,17 @@ class Trainer:
         from .bdr import GroupReducer
 
         group_matrix = GroupReducer(state.params, branchnames, mmtm_names)
-        if controller_kind == "guided":
+        if controller_kind in ("guided", "weakest"):
             # An empty parameter group (typo'd branch/modality name, or a
             # model whose tower names don't match) would make the BDR ratio
-            # 0/0 = NaN and silently disable curation for the whole run —
-            # fail loudly instead.
+            # 0/0 = NaN — silently disabling curation (guided) or poisoning
+            # the d_BDR telemetry (weakest) for the whole run — fail loudly.
             col_counts = group_matrix.matrix.sum(axis=0)
             if (col_counts == 0).any():
                 names = [f"main:{b}" for b in branchnames] + [f"bypass:{m}" for m in mmtm_names]
                 empty = [names[i] for i in np.flatnonzero(col_counts == 0)]
                 raise ValueError(
-                    f"guided controller: no parameters matched group(s) {empty}; "
+                    f"{controller_kind} controller: no parameters matched group(s) {empty}; "
                     f"check branchnames/mmtm_names against the parameter tree"
                 )
         ctrl_update = make_controller_update(controller_kind, nummodalities, **{
@@ -268,6 +268,21 @@ class Trainer:
     def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
         if generator is None:  # train-only runs: no val/test pass, no keys
             return {}
+        if self.controller_kind == "weakest":
+            # The guided/random controllers mirror the reference: the live
+            # curation flags thread into eval forwards (src/framework.py:
+            # 146-148,232-237).  The weakest extension has no reference
+            # counterpart and its duty cycle could otherwise end an epoch
+            # mid-window, so its per-modality val metrics — the argmin the
+            # next designation reads — would be measured with the cared
+            # gate averaged.  Evaluate with curation off; the next train
+            # step recomputes the mode from the duty phase regardless.
+            ctrl = self.state.controller
+            # unconditional replace: a host->device scalar is async, while
+            # inspecting the flag first would block on a device fetch
+            self.state = self.state.replace(
+                controller=ctrl.replace(curation_mode=jnp.asarray(False))
+            )
         if steps is None:
             steps = len(generator)
         progress = ValidationProgressionCallback(

@@ -278,8 +278,11 @@ def test_weakest_callback_designates_argmin_val_modality():
     cb.on_train_begin({})
     assert tr2.targets == []
 
-    with pytest.raises(ValueError, match="must not exceed"):
+    with pytest.raises(ValueError, match="must be smaller"):
         Bias_Mitigation_Weakest(curation_windowsize=11, duty_period=10)
+    with pytest.raises(ValueError, match="must be smaller"):
+        # equal would curate every unlocked step (phase is always < period)
+        Bias_Mitigation_Weakest(curation_windowsize=10, duty_period=10)
 
 
 def test_weakest_trainer_end_to_end(tmp_path):
@@ -316,6 +319,14 @@ def test_weakest_trainer_end_to_end(tmp_path):
     # the duty cycle — device state must reflect it
     assert int(tr.state.controller.caring_modality) >= 0
     assert int(tr.state.controller.curation_step) > 0
+    # eval passes under the weakest controller run with curation forced off
+    # (unlike guided/random, whose live-flag threading mirrors the
+    # reference): mid-window, an eval must not see curation_mode=True
+    tr.state = tr.state.replace(
+        controller=tr.state.controller.replace(curation_mode=jnp.asarray(True))
+    )
+    tr._eval_generator(pipe, "val")
+    assert not bool(tr.state.controller.curation_mode)
 
 
 def test_reset_controller_preserves_seeded_rng():

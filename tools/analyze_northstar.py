@@ -81,18 +81,38 @@ def fmt(vals, nd=4):
 ARMS = ("guided", "random", "weakest")
 
 
+def arm_pairs(arms):
+    """Ordered pairwise comparisons among the arms present."""
+    return [
+        (a, b)
+        for i, a in enumerate(ARMS)
+        for b in ARMS[i + 1 :]
+        if a in arms and b in arms
+    ]
+
+
+def print_pairwise(vals, pairs):
+    """Shared per-pair stat lines: permutation p + Mann-Whitney U/AUC."""
+    for a, b in pairs:
+        g, r = vals.get(a), vals.get(b)
+        if not g or not r:
+            continue
+        p, exact = permutation_pvalue(g, r)
+        u, auc = mann_whitney_u(g, r)
+        kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
+        print(
+            f"  {a} vs {b}: mean diff {np.mean(g) - np.mean(r):+.4g}; "
+            f"{kind} permutation p = {p:.4g}; Mann-Whitney U = {u:.1f} (AUC {auc:.3f})"
+        )
+
+
 def main():
     with open(sys.argv[1]) as f:
         summary = json.load(f)
     arms = {name: arm(summary, name) for name in ARMS}
     arms = {name: runs for name, runs in arms.items() if runs}
     print("runs: " + ", ".join(f"{len(r)} {n}" for n, r in arms.items()) + "\n")
-    pairs = [
-        (a, b)
-        for i, a in enumerate(ARMS)
-        for b in ARMS[i + 1 :]
-        if a in arms and b in arms
-    ]
+    pairs = arm_pairs(arms)
 
     for label, key, better in (
         ("flow-off weak-modality test acc (conditional utilization)", "flowoff_test_acc_modal_1", "higher"),
@@ -120,17 +140,7 @@ def main():
         for name, v in vals.items():
             if v:
                 print(f"  {name} ({len(v)}): {fmt(sorted(v))}   mean {np.mean(v):.4g}")
-        for a, b in pairs:
-            g, r = vals.get(a), vals.get(b)
-            if not g or not r:
-                continue
-            p, exact = permutation_pvalue(g, r)
-            u, auc = mann_whitney_u(g, r)
-            kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
-            print(
-                f"  {a} vs {b}: mean diff {np.mean(g) - np.mean(r):+.4g}; "
-                f"{kind} permutation p = {p:.4g}; Mann-Whitney U = {u:.1f} (AUC {auc:.3f})"
-            )
+        print_pairwise(vals, pairs)
         print()
 
     print("## per-run table (markdown)")

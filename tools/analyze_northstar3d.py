@@ -25,12 +25,13 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from analyze_northstar import arm, fmt, mann_whitney_u, permutation_pvalue  # noqa: E402
-
-_MC_SAMPLES = 400_000
-
-
-ARMS = ("guided", "random", "weakest")
+from analyze_northstar import (  # noqa: E402
+    ARMS,
+    arm,
+    arm_pairs,
+    fmt,
+    print_pairwise,
+)
 
 
 def main():
@@ -48,12 +49,7 @@ def main():
         ("test top-1 @ best val", "test_acc", "higher"),
         ("final train acc, flow (modality 2)", "final_train_acc_modal_2", "higher"),
     ]
-    pairs = [
-        (a, b)
-        for i, a in enumerate(ARMS)
-        for b in ARMS[i + 1 :]
-        if a in arms and b in arms
-    ]
+    pairs = arm_pairs(arms)
     for label, key, better in comparisons:
         if key is None:
             getter = lambda r: (  # noqa: E731
@@ -73,18 +69,7 @@ def main():
         for name, v in vals.items():
             if v:
                 print(f"  {name} ({len(v)}): {fmt(sorted(v))}   mean {np.mean(v):.4g}")
-        for a, b in pairs:
-            g, r = vals.get(a), vals.get(b)
-            if not g or not r:
-                continue
-            p, exact = permutation_pvalue(g, r)
-            u, auc = mann_whitney_u(g, r)
-            kind = "exact" if exact else f"Monte Carlo ({_MC_SAMPLES:,} shuffles)"
-            print(
-                f"  {a} vs {b}: mean diff {np.mean(g) - np.mean(r):+.4g}; "
-                f"{kind} permutation p = {p:.4g}; "
-                f"Mann-Whitney U = {u:.1f} (AUC {auc:.3f})"
-            )
+        print_pairwise(vals, pairs)
         print()
 
     print("## per-run table (markdown)")

@@ -96,18 +96,20 @@ def main():
 
     def arm_vals(key):
         return {
-            arm: [v[key] for k, v in summary.items() if k.startswith(arm)]
-            for arm in ("guided", "random")
+            arm: [v[key] for k, v in summary.items() if k.startswith(arm + "_s")]
+            for arm in ARM_COLORS
         }
+
+    present = [a for a in ARM_COLORS if any(k.startswith(a + "_s") for k in summary)]
+    counts = "/".join(str(sum(1 for k in summary if k.startswith(a + "_s"))) for a in present)
 
     fig = plt.figure(figsize=(11, 7.2), facecolor=SURFACE)
     gs = fig.add_gridspec(
         2, 2, height_ratios=[1, 1.35], hspace=0.42, wspace=0.28,
         left=0.09, right=0.97, top=0.90, bottom=0.09,
     )
-    n_arm = len([k for k in summary if k.startswith("guided")])
     fig.suptitle(
-        f"Guided vs random curation — {n_arm} seeds per arm, full "
+        f"Curation criteria: {' vs '.join(present)} — {counts} seeds, full "
         "train → record → cross-modal-flow-off pipeline",
         color=INK, fontsize=13, x=0.09, ha="left",
     )
@@ -127,16 +129,18 @@ def main():
     style_axes(axC, xlabel="epoch", ylabel="weak-modality train accuracy (%)")
     axC.grid(True, axis="y", color=GRID, linewidth=0.8)
     for csv in sorted(glob.glob(os.path.join(args.results_dir, "*_history.csv"))):
-        arm = "guided" if os.path.basename(csv).startswith("guided") else "random"
+        arm = os.path.basename(csv).split("_s")[0]
+        if arm not in ARM_COLORS:
+            continue
         df = pd.read_csv(csv)
         axC.plot(
             df["epoch"], df["acc_modal_1"],
-            color=C_GUIDED if arm == "guided" else C_RANDOM,
+            color=ARM_COLORS[arm],
             linewidth=1.6, alpha=0.45, solid_capstyle="round",
         )
     handles = [
-        plt.Line2D([], [], color=C_GUIDED, linewidth=2, label="guided"),
-        plt.Line2D([], [], color=C_RANDOM, linewidth=2, label="random"),
+        plt.Line2D([], [], color=ARM_COLORS[a], linewidth=2, label=a)
+        for a in present
     ]
     leg = axC.legend(
         handles=handles, loc="lower right", frameon=False, fontsize=10,

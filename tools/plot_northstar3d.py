@@ -63,10 +63,12 @@ def main():
         2, 3, height_ratios=[1, 1.35], hspace=0.42, wspace=0.34,
         left=0.08, right=0.97, top=0.86, bottom=0.09,
     )
-    n_arm = len([k for k in summary if k.startswith("guided_s")])
+    counts = "/".join(
+        str(sum(1 for k in summary if k.startswith(a + "_s"))) for a in present
+    )
     fig.suptitle(
         f"3-modality (3D-CNN) curation criteria: {' vs '.join(present)} — "
-        f"{n_arm} seeds per arm,\n"
+        f"{counts} seeds,\n"
         "full train → record → cross-modal-flow-off pipeline",
         color=INK, fontsize=13, x=0.08, y=0.985, ha="left",
     )
