@@ -50,9 +50,10 @@ def eval_(
             mmtmpositions=4,
         )
 
-    # Unknown names must fail loudly: the reference's module-dict dispatch
-    # raises KeyError (reference: train.py:54-57); a silent skip would turn
-    # a typo'd controller name into a different experiment arm.
+    # Callbacks by name lookup (reference: eval.py:44-47).  DELIBERATE
+    # DEPARTURE (PARITY.md): the reference's `if name in
+    # avail_callbacks.__dict__` *silently skips* unknown names; here a
+    # typo'd name fails loudly instead of silently changing the run.
     callbacks_constructed = []
     for name in callbacks:
         ctor = getattr(avail_callbacks, name, None)

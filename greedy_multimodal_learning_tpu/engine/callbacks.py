@@ -480,6 +480,11 @@ class ModelCheckpoint(Callback):
             elif self.verbose > 0:
                 print("Epoch %05d: %s did not improve" % (epoch, self.monitor))
         else:
+            # DELIBERATE DEPARTURE (PARITY.md): the reference only saves
+            # non-best checkpoints when verbose > 0 — the save call sits
+            # inside the verbose guard (reference: src/callbacks.py:448-452).
+            # Saving unconditionally is what save_best_only=False means;
+            # no shipped config uses this path.
             if self.verbose > 0:
                 print("Epoch %05d: saving model to %s" % (epoch, self.filepath))
             self.model_pytoune.save_weights(self.filepath)

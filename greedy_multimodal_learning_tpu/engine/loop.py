@@ -144,9 +144,27 @@ def training_loop(
         logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
         _remove_stale([history_pkl_path, history_csv_path])
     # quirk #2 reproduced: structured pickle iff custom callbacks present.
-    callbacks += _construct_default_callbacks(
+    # Empty val split in a TRAINING run: the reference crashes (0/0 over
+    # zero batches); a silent rebuild alternative would monitor a constant
+    # val_acc=0.0 and keep the first epoch's checkpoint forever.  Warn
+    # loudly and drop the best-val checkpoint instead (PARITY.md
+    # deliberate departures; valid_size=0 is meant for recording evals,
+    # reference: configs/recording.gin:18).
+    empty_val = not validation_steps or (valid is not None and len(valid) == 0)
+    if empty_val and checkpoint_monitor.startswith("val"):
+        logger.warning(
+            "Empty validation split (validation_steps=%s): %s would be a "
+            "constant 0.0 — best-val checkpointing DISABLED for this run; "
+            "only model_last_epoch.pt will be written. Set valid_size>0 "
+            "for checkpoint selection.",
+            validation_steps, checkpoint_monitor,
+        )
+    defaults = _construct_default_callbacks(
         H, save_path, checkpoint_monitor, save_with_structure=bool(custom_callbacks)
     )
+    if empty_val and checkpoint_monitor.startswith("val"):
+        defaults = [c for c in defaults if not isinstance(c, ModelCheckpoint)]
+    callbacks += defaults
 
     kind, ctrl_cfg = _detect_controller(custom_callbacks)
 

@@ -155,6 +155,17 @@ def _make_eval_core(model, mmtm_off: bool):
     (key, mmtm_idx, view_idx, shape) per packed leaf.  Shapes are static
     under jit, so the spec is identical for every call and for both the
     per-step and scanned programs built on the same core.
+
+    SHARING CONTRACT (pinned — see VERDICT r2 #8): the Trainer builds the
+    per-step AND the scanned eval program on ONE core_and_spec
+    (framework.py:138-144), so both share this single mutable list.  Each
+    trace clears and rebuilds it; that is safe *only because* every trace
+    of the same core appends an identical spec (static shapes).  If you
+    refactor to build the two programs on *separate* `_make_eval_core`
+    calls, each gets its own list — fine — but do NOT share one list
+    across *different* cores (e.g. recording on vs off): the second trace
+    would silently clobber the first's layout.  The rebuild-equality
+    assert below turns that mistake into a trace-time error.
     """
     record_pack_spec: list = []
 
@@ -183,6 +194,7 @@ def _make_eval_core(model, mmtm_off: bool):
         # ~4,200 live buffers measurably degrades the link (PERF.md).  The
         # concat fuses into the step program — no extra compile/dispatch.
         packed_leaves = []
+        prior_spec = list(record_pack_spec)
         record_pack_spec.clear()
         for key, val, enabled in (
             ("mmtmscales_list", scales, model.saving_mmtm_scales),
@@ -194,6 +206,12 @@ def _make_eval_core(model, mmtm_off: bool):
                 for vi, arr in enumerate(mmtm_arrs):
                     record_pack_spec.append((key, mi, vi, tuple(arr.shape)))
                     packed_leaves.append(jnp.ravel(arr.astype(jnp.float32)))
+        if prior_spec and prior_spec != record_pack_spec:
+            raise AssertionError(
+                "record_pack_spec changed between traces of one eval core "
+                f"({prior_spec} -> {record_pack_spec}); per-step and scanned "
+                "programs sharing this core would unpack with the wrong layout"
+            )
         if packed_leaves:
             out["packed_records"] = jnp.concatenate(packed_leaves)
         return mut["mmtm"], out

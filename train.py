@@ -36,10 +36,12 @@ def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), s
 
     optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
 
-    # Callbacks constructed by name lookup, mirroring the reference's
-    # module-dict dispatch — which raises KeyError on an unknown name
-    # (reference: train.py:54-57); a silent skip would turn a typo'd
-    # controller name into a different experiment arm.
+    # Callbacks constructed by name lookup over this module's namespace,
+    # mirroring the reference's module-dict dispatch (reference:
+    # train.py:54-57).  DELIBERATE DEPARTURE (PARITY.md): the reference's
+    # `if name in avail_callbacks.__dict__` *silently skips* unknown names;
+    # here a typo'd controller name fails loudly instead of silently
+    # turning the run into a different experiment arm.
     callbacks_constructed = []
     for name in callbacks:
         ctor = getattr(avail_callbacks, name, None)
