@@ -6,5 +6,5 @@ from .modelnet import (
     load_view_stack,
     reference_val_split,
 )
-from .pipeline import BatchPipeline
+from .pipeline import BatchPipeline, DeviceCachePipeline, wrap_device_cache
 from .transforms import preprocess

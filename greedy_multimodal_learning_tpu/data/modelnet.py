@@ -138,11 +138,18 @@ def get_mvdcndata(
     seed=777,
     use_cuda=True,
     cache=True,
+    device_cache="auto",
 ):
     """Loader factory with the reference's exact gin surface
-    (reference: src/dataset.py:15-92).  Returns (train, valid, test)
-    batch iterators (see data/pipeline.py)."""
-    from .pipeline import BatchPipeline
+    (reference: src/dataset.py:15-92) plus the additive ``device_cache``
+    extension.  Returns (train, valid, test) batch iterators (see
+    data/pipeline.py).
+
+    ``device_cache``: True/False/"auto" — upload each split's uint8 corpus
+    to device memory once and assemble batches on device by index gather
+    (budget-checked; falls back to streaming).  "auto" enables it for
+    single-process runs."""
+    from .pipeline import BatchPipeline, wrap_device_cache
 
     if root_dir is None:
         root_dir = os.environ.get("DATA_DIR", ".")
@@ -164,4 +171,7 @@ def get_mvdcndata(
     train_loader = BatchPipeline(train_ds, training_idx, batch_size, shuffle=True, seed=seed)
     valid_loader = BatchPipeline(train_ds, valid_idx, batch_size, shuffle=False)
     test_loader = BatchPipeline(test_ds, test_idx, batch_size, shuffle=False)
+    train_loader = wrap_device_cache(train_loader, device_cache)
+    valid_loader = wrap_device_cache(valid_loader, device_cache)
+    test_loader = wrap_device_cache(test_loader, device_cache)
     return train_loader, valid_loader, test_loader

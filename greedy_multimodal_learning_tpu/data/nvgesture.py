@@ -73,11 +73,13 @@ def get_nvgesturedata(
     specific_modalities=None,
     seed=777,
     cache=True,
+    device_cache="auto",
 ):
     """Loader factory following the same shape as ``get_mvdcndata``
     (reference: src/dataset.py:15-92): deterministic val split, train
-    shuffled, returns (train, valid, test) pipelines."""
-    from .pipeline import BatchPipeline
+    shuffled, returns (train, valid, test) pipelines.  ``device_cache``
+    as in ``get_mvdcndata`` (HBM-resident corpus, on-device batch gather)."""
+    from .pipeline import BatchPipeline, wrap_device_cache
 
     if root_dir is None:
         root_dir = os.environ.get("DATA_DIR", ".")
@@ -95,9 +97,9 @@ def get_nvgesturedata(
     valid_idx = process_local_indices(valid_idx)
     test_idx = process_local_indices(range(len(test_ds)))
     return (
-        BatchPipeline(train_ds, training_idx, batch_size, shuffle=True, seed=seed),
-        BatchPipeline(train_ds, valid_idx, batch_size, shuffle=False),
-        BatchPipeline(test_ds, test_idx, batch_size, shuffle=False),
+        wrap_device_cache(BatchPipeline(train_ds, training_idx, batch_size, shuffle=True, seed=seed), device_cache),
+        wrap_device_cache(BatchPipeline(train_ds, valid_idx, batch_size, shuffle=False), device_cache),
+        wrap_device_cache(BatchPipeline(test_ds, test_idx, batch_size, shuffle=False), device_cache),
     )
 
 

@@ -181,3 +181,184 @@ class BatchPipeline:
             stop.set()
         if failure:
             raise RuntimeError("BatchPipeline producer thread failed") from failure[0]
+
+
+class DeviceCachePipeline(BatchPipeline):
+    """Device-resident corpus: the split's whole uint8 image stack is
+    uploaded to HBM ONCE; every batch is then assembled *on device* by a
+    tiny jitted index gather, so steady-state training never moves image
+    bytes over the host↔device link again.
+
+    Rationale: the reference re-reads + re-transforms every sample per epoch
+    on the host (reference: src/dataset.py:55-90 + src/framework.py:165-169).
+    The streaming :class:`BatchPipeline` already reduces that to one uint8
+    H2D per batch, but on link-bound deployments the transfer still caps
+    end-to-end throughput (PERF.md: 146 samples/s e2e vs 3711 samples/s
+    compute at B=128 over a ~37 MB/s tunnel) while the operative two-view
+    uint8 corpus fits in HBM many times over.  With the cache, the per-step
+    upload shrinks from ``B*V*H*W*C`` bytes to ``B`` int32 row ids + ``B``
+    float32 mask — the batch itself never exists on the host.
+
+    Semantics are *identical* to streaming (tested batch-for-batch equal):
+
+    * the per-epoch order is the inherited ``_epoch_order()`` — a pure
+      function of (seed, epoch) — so resume replays the exact same order,
+    * partial final batches are padded with a reserved all-zero corpus row
+      (images zero, label 0, index -1, mask 0), matching ``_collate``'s
+      zero-padding byte-for-byte,
+    * batches still yield host ``indices``/``size`` for history recording;
+      ``images``/``labels``/``mask`` are committed device arrays, which
+      ``device_prefetch``'s default ``jax.device_put`` passes through
+      without a copy.
+
+    The corpus upload is budget-checked against the device's free memory at
+    first iteration; if it does not fit (or the upload fails), the pipeline
+    logs a warning and PERMANENTLY falls back to the inherited streaming
+    iterator.  Multi-host runs must keep streaming (each process feeds
+    process-local rows of a global batch): ``wrap_device_cache`` refuses to
+    wrap when ``jax.process_count() > 1``.
+    """
+
+    #: fraction of the device's free memory the corpus may occupy
+    budget_frac = 0.5
+    #: budget when the backend reports no memory stats (CPU/interpret)
+    fallback_budget_bytes = 2 * 1024**3
+
+    def __init__(self, dataset, indices, batch_size, **kw):
+        super().__init__(dataset, indices, batch_size, **kw)
+        self._corpus = None  # (images, labels) device arrays after upload
+        self._row_of = None  # dataset index -> corpus row LUT
+        self._streaming = False  # budget fallback latch
+        self._gather = None
+
+    # -- corpus construction ------------------------------------------------
+
+    def _corpus_nbytes(self) -> int:
+        if len(self.indices) == 0:
+            return 0
+        _, img, _ = self.dataset[int(self.indices[0])]
+        return (len(self.indices) + 1) * img.nbytes  # +1 pad row
+
+    def _budget_ok(self, device) -> bool:
+        nbytes = self._corpus_nbytes()
+        try:
+            stats = device.memory_stats()
+        except Exception:
+            stats = None
+        if stats and stats.get("bytes_limit"):
+            free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+            ok = nbytes <= self.budget_frac * free
+            if not ok:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "device cache: corpus %.1f MB exceeds %.0f%% of free device "
+                    "memory (%.1f MB) — falling back to streaming batches",
+                    nbytes / 1e6, 100 * self.budget_frac, free / 1e6,
+                )
+            return ok
+        return nbytes <= self.fallback_budget_bytes
+
+    def _ensure_corpus(self) -> bool:
+        """Upload once; returns False (and latches streaming) on any failure."""
+        if self._corpus is not None:
+            return True
+        if self._streaming or len(self.indices) == 0:
+            return False
+        import logging
+
+        import jax
+        import jax.numpy as jnp
+
+        logger = logging.getLogger(__name__)
+        try:
+            device = jax.devices()[0]
+            if not self._budget_ok(device):
+                self._streaming = True
+                return False
+            items = [self.dataset[int(i)] for i in self.indices]
+            imgs = np.stack([it[1] for it in items])
+            # reserved all-zero pad row (matches _collate's zero padding)
+            imgs = np.concatenate([imgs, np.zeros((1,) + imgs.shape[1:], imgs.dtype)])
+            labels = np.concatenate([np.array([it[2] for it in items], np.int32), [0]])
+            self._pad_row = len(items)
+            lut = np.zeros(int(self.indices.max()) + 1, np.int32)
+            lut[self.indices] = np.arange(len(items), dtype=np.int32)
+            self._row_of = lut
+            dimg = jax.device_put(imgs, device)
+            dlab = jax.device_put(labels, device)
+            dimg.block_until_ready()
+            self._corpus = (dimg, dlab)
+            # explicit args (not closure constants): XLA must not bake the
+            # corpus into the executable as a literal
+            self._gather = jax.jit(
+                lambda img, lab, rows, mask: (img[rows], lab[rows], mask)
+            )
+            logger.info(
+                "device cache: %d samples (%.1f MB uint8) resident on %s",
+                len(items), imgs.nbytes / 1e6, device,
+            )
+            return True
+        except Exception:
+            logger.warning(
+                "device cache: corpus upload failed — falling back to "
+                "streaming batches", exc_info=True,
+            )
+            self._streaming = True
+            return False
+
+    # -- iteration ----------------------------------------------------------
+
+    def __iter__(self):
+        if not self._ensure_corpus():
+            yield from super().__iter__()
+            return
+        self.epoch += 1
+        order = self._epoch_order()
+        n = len(order)
+        b = self.batch_size
+        dimg, dlab = self._corpus
+        for s in range(0, n, b):
+            chunk = order[s : s + b]
+            size = len(chunk)
+            rows = self._row_of[chunk]
+            idxs = np.asarray(chunk, np.int32)
+            mask = np.ones((b,), np.float32)
+            if size < b:
+                rows = np.concatenate([rows, np.full((b - size,), self._pad_row, np.int32)])
+                idxs = np.concatenate([idxs, np.full((b - size,), -1, np.int32)])
+                mask[size:] = 0.0
+            images, labels, dmask = self._gather(dimg, dlab, rows, mask)
+            yield {
+                "images": images,
+                "labels": labels,
+                "indices": idxs,
+                "mask": dmask,
+                "size": size,
+            }
+
+
+def wrap_device_cache(pipeline: BatchPipeline, enabled="auto") -> BatchPipeline:
+    """Upgrade a streaming pipeline to :class:`DeviceCachePipeline`.
+
+    ``enabled``: True / False / "auto".  "auto" turns the cache on for
+    single-process runs (multi-host feeds process-local slices of global
+    batches — see parallel/multihost.py — which a single-device corpus
+    gather cannot express)."""
+    if enabled is False:
+        return pipeline
+    if enabled == "auto":
+        import jax
+
+        if jax.process_count() > 1:
+            return pipeline
+    cached = DeviceCachePipeline(
+        pipeline.dataset,
+        pipeline.indices,
+        pipeline.batch_size,
+        shuffle=pipeline.shuffle,
+        seed=pipeline.seed,
+        prefetch=pipeline.prefetch,
+    )
+    cached.epoch = pipeline.epoch
+    return cached

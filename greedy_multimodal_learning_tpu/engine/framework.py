@@ -314,8 +314,16 @@ class Trainer:
                 return
             t0 = timeit.default_timer()
             if len(pending) == K:
+                # Device-cached pipelines yield committed device arrays:
+                # stack those with jnp (a device op) — np.stack would pull
+                # every batch back to the host through __array__.
+                stack = (
+                    jnp.stack
+                    if isinstance(pending[0]["batch"]["images"], jax.Array)
+                    else np.stack
+                )
                 stacked = {
-                    key: np.stack([p["batch"][key] for p in pending])
+                    key: stack([p["batch"][key] for p in pending])
                     for key in pending[0]["batch"]
                 }
                 new_mmtm, outs = self._eval_scan_step(self.state, stacked, avg_maps)

@@ -1,0 +1,194 @@
+"""Device-resident dataset cache: cached batches must equal streamed
+batches byte-for-byte (images, labels, mask, indices, size, order), the
+(seed, epoch) order contract must survive resume, and the budget check must
+fall back to streaming.
+
+Rationale: the cache removes the per-step image H2D (PERF.md: the 25x
+gap between compute and e2e throughput at B=128 was all transfer), so its
+ONLY acceptable observable difference from streaming is speed.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from greedy_multimodal_learning_tpu import config as cfg
+from greedy_multimodal_learning_tpu.data import (
+    BatchPipeline,
+    DeviceCachePipeline,
+    MultiviewModelNet,
+    get_mvdcndata,
+    wrap_device_cache,
+)
+from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+
+
+@pytest.fixture(scope="module")
+def modelnet_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cache_data")
+    return make_synthetic_modelnet(
+        str(root), n_train=14, n_test=6, num_views=2, image_size=16, nclasses=3
+    )
+
+
+def _pipelines(root, *, batch_size=4, shuffle=True, indices=None):
+    ds = MultiviewModelNet(root, "train", specific_view=[0, 1])
+    if indices is None:
+        indices = list(range(len(ds)))
+    streamed = BatchPipeline(ds, indices, batch_size, shuffle=shuffle, seed=777)
+    cached = DeviceCachePipeline(ds, indices, batch_size, shuffle=shuffle, seed=777)
+    return streamed, cached
+
+
+def _materialize(batch):
+    return {k: np.asarray(v) if k != "size" else v for k, v in batch.items()}
+
+
+def test_cached_equals_streamed_across_epochs(modelnet_root):
+    """Two epochs incl. a padded partial batch (14 % 4 != 0): every field of
+    every batch identical, in identical order."""
+    streamed, cached = _pipelines(modelnet_root)
+    for epoch in range(2):
+        sb = [_materialize(b) for b in streamed]
+        cb = [_materialize(b) for b in cached]
+        assert len(sb) == len(cb) == len(streamed) == len(cached)
+        for s, c in zip(sb, cb):
+            assert s["size"] == c["size"]
+            np.testing.assert_array_equal(s["indices"], c["indices"])
+            np.testing.assert_array_equal(s["labels"], c["labels"])
+            np.testing.assert_array_equal(s["mask"], c["mask"])
+            np.testing.assert_array_equal(s["images"], c["images"])
+
+
+def test_cached_batches_are_device_resident(modelnet_root):
+    _, cached = _pipelines(modelnet_root)
+    batch = next(iter(cached))
+    assert isinstance(batch["images"], jax.Array)
+    assert isinstance(batch["labels"], jax.Array)
+    # host-side fields stay host-side (consumed by history recording only)
+    assert isinstance(batch["indices"], np.ndarray)
+    assert batch["images"].dtype == np.uint8
+
+
+def test_set_epoch_resume_order_matches_streaming(modelnet_root):
+    """Resume contract: order is a pure function of (seed, epoch) — a cached
+    pipeline resumed at epoch k replays exactly the streamed epoch-k order."""
+    streamed, cached = _pipelines(modelnet_root)
+    streamed.set_epoch(5)
+    cached.set_epoch(5)
+    s_idx = np.concatenate([b["indices"][: b["size"]] for b in streamed])
+    c_idx = np.concatenate([b["indices"][: b["size"]] for b in cached])
+    np.testing.assert_array_equal(s_idx, c_idx)
+
+
+def test_budget_fallback_streams_identically(modelnet_root, caplog):
+    import logging
+
+    streamed, cached = _pipelines(modelnet_root, shuffle=False)
+    cached.fallback_budget_bytes = 1  # force the budget check to fail
+    with caplog.at_level(logging.WARNING):
+        cb = [_materialize(b) for b in cached]
+    assert cached._corpus is None and cached._streaming
+    sb = [_materialize(b) for b in streamed]
+    for s, c in zip(sb, cb):
+        np.testing.assert_array_equal(s["images"], c["images"])
+        np.testing.assert_array_equal(s["labels"], c["labels"])
+    # once latched, later epochs stay streaming (no repeated upload attempts)
+    assert not cached._ensure_corpus()
+
+
+def test_budget_respects_device_memory_stats(modelnet_root, monkeypatch):
+    """When the backend reports memory stats (TPU does; CPU may not), the
+    corpus must fit within budget_frac of FREE memory or fall back."""
+    _, cached = _pipelines(modelnet_root)
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 100, "bytes_in_use": 90}
+
+    assert not cached._budget_ok(FakeDev())
+
+    class BigDev:
+        def memory_stats(self):
+            return {"bytes_limit": 1 << 40, "bytes_in_use": 0}
+
+    assert cached._budget_ok(BigDev())
+
+
+def test_subset_indices_and_pad_row(modelnet_root):
+    """Non-contiguous dataset indices (a val split) map through the row LUT;
+    the padded tail row is all-zero with label 0 / index -1 / mask 0,
+    matching _collate's zero-padding exactly."""
+    indices = [11, 3, 7, 0, 9]  # 5 samples, batch 4 -> one padded row
+    streamed, cached = _pipelines(modelnet_root, shuffle=False, indices=indices)
+    sb = [_materialize(b) for b in streamed]
+    cb = [_materialize(b) for b in cached]
+    assert [b["size"] for b in cb] == [4, 1]
+    for s, c in zip(sb, cb):
+        np.testing.assert_array_equal(s["images"], c["images"])
+        np.testing.assert_array_equal(s["indices"], c["indices"])
+    tail = cb[-1]
+    assert (tail["images"][1:] == 0).all()
+    assert (tail["labels"][1:] == 0).all()
+    assert (tail["indices"][1:] == -1).all()
+    assert (tail["mask"][1:] == 0).all()
+
+
+def test_get_mvdcndata_device_cache_binding(modelnet_root):
+    """The loader factory's device_cache kwarg (additive gin extension)
+    selects the cached pipeline; False keeps streaming."""
+    cfg.clear_config()
+    train, valid, test = get_mvdcndata(
+        root_dir=modelnet_root, specific_views=[0, 1], batch_size=4, device_cache="auto"
+    )
+    assert isinstance(train, DeviceCachePipeline)
+    assert isinstance(valid, DeviceCachePipeline)
+    assert isinstance(test, DeviceCachePipeline)
+    train2, _, _ = get_mvdcndata(
+        root_dir=modelnet_root, specific_views=[0, 1], batch_size=4, device_cache=False
+    )
+    assert not isinstance(train2, DeviceCachePipeline)
+
+
+def test_wrap_refuses_multiprocess(monkeypatch, modelnet_root):
+    """Multi-host runs feed process-local slices of a global batch —
+    a single-device corpus gather cannot express that; auto must refuse."""
+    streamed, _ = _pipelines(modelnet_root)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert wrap_device_cache(streamed, "auto") is streamed
+    monkeypatch.undo()
+    assert isinstance(wrap_device_cache(streamed, "auto"), DeviceCachePipeline)
+
+
+def test_cached_training_run_matches_streamed(modelnet_root):
+    """End-to-end: a short jitted training run over the cached pipeline
+    produces bit-identical epoch metrics to the streamed pipeline (the
+    gather feeds the very same donated train step)."""
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.framework import Trainer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    results = {}
+    for name in ("streamed", "cached"):
+        streamed, cached = _pipelines(modelnet_root, batch_size=4)
+        gen = cached if name == "cached" else streamed
+        model = MMTMMVCNN(nclasses=3, num_towers=2, dtype=jnp.float32)
+        optimizer = make_optimizer(lr=0.05)
+        sample = jnp.zeros((4, 2, 16, 16, 3), jnp.float32)
+        state = create_train_state(model, optimizer, jax.random.PRNGKey(0), sample)
+        trainer = Trainer(model, optimizer, state, nummodalities=2, verbose=False)
+        logs = []
+
+        from greedy_multimodal_learning_tpu.engine.callbacks import LambdaCallback
+
+        cb = LambdaCallback(on_epoch_end=lambda e, l: logs.append(dict(l)))
+        trainer.train_loop(gen, epochs=2, steps_per_epoch=len(gen), callbacks=[cb])
+        results[name] = logs
+
+    for ls, lc in zip(results["streamed"], results["cached"]):
+        assert ls["loss"] == lc["loss"]
+        assert ls["acc"] == lc["acc"]
+        np.testing.assert_array_equal(ls["train_indices"], lc["train_indices"])
