@@ -1,0 +1,243 @@
+#!/usr/bin/env python3
+"""Head-to-head parity experiment: the UNMODIFIED reference implementation
+(CPU-shimmed, out-of-tree — run_reference.py) vs this rebuild, on an
+IDENTICAL reduced-scale imbalanced dataset (make_dataset.py; files are
+torch-serialized so both pipelines read the same bytes), through BOTH full
+pipelines: train → recording eval (train split, best checkpoint) →
+cross-modal-flow-off eval (test split).
+
+Measures the BASELINE north-star parity clause: final top-1 (test accuracy
+at the best-val epoch) within ±0.5 points between implementations, plus
+flow-off (conditional utilization) accuracy deltas.
+
+Per (arm, seed) four runs are produced:
+  <workdir>/ref_<arm>_s<seed>   — reference implementation
+  <workdir>/jax_<arm>_s<seed>   — rebuild
+Summary lands in <workdir>/parity_summary.json; re-invocation resumes
+(completed runs are skipped).
+
+Usage: python3 tools/parity/run_parity.py WORKDIR [--epochs 21]
+       [--seeds 777 778 779 780] [--arms guided random]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+
+NCLASSES = 10
+IMAGE = 64
+
+
+def sh(cmd, log_path, env_extra=None):
+    print(f"+ {' '.join(cmd)}", flush=True)
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env)
+    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
+    return proc.returncode
+
+
+def jax_cpu_env():
+    env = {"JAX_PLATFORMS": "cpu"}
+    # sitecustomize force-registers the remote TPU backend off this var;
+    # the rebuild's parity runs must be pure-CPU like the reference's
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    return env
+
+
+def common_bindings(data, seed, epochs):
+    return (
+        f"get_mvdcndata.root_dir='{data}'"
+        f"#get_mvdcndata.specific_views=[0, 1]"
+        f"#get_mvdcndata.num_workers=0"
+        f"#get_mvdcndata.seed={seed}"
+        f"#MMTM_MVCNN.nclasses={NCLASSES}"
+        f"#training_loop.n_epochs={epochs}"
+    )
+
+
+def eval_bindings(data, run, which):
+    ckpt = os.path.join(run, "model_best_val.pt")
+    b = (
+        f"eval_.pretrained_weights_path='{ckpt}'"
+        f"#get_mvdcndata.root_dir='{data}'"
+        f"#get_mvdcndata.specific_views=[0, 1]"
+        f"#get_mvdcndata.num_workers=0"
+        f"#MMTM_MVCNN.nclasses={NCLASSES}"
+    )
+    if which == "off":
+        b += (
+            f"#MMTM_MVCNN.mmtm_rescale_eval_file_path='{os.path.join(run, 'eval_history_batch')}'"
+            f"#MMTM_MVCNN.mmtm_rescale_training_file_path='{run}'"
+            f"#MMTM_MVCNN.device='cpu'"
+        )
+    return b
+
+
+def train_complete(run_dir, n_epochs):
+    hist = os.path.join(run_dir, "history.csv")
+    if not os.path.exists(hist):
+        return False
+    import pandas as pd
+
+    df = pd.read_csv(hist)
+    if len(df) == 0:
+        return False
+    if int(df["epoch"].iloc[-1]) >= n_epochs - 1:
+        return True
+    # CompletedStopping (patience 5 at train acc == 100, shipped configs)
+    return int((df["acc"] == 100.0).sum()) >= 5
+
+
+def summarize_run(run_dir):
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(run_dir, "history.csv"))
+    best_i = int(df["val_acc"].idxmax())
+    out = {
+        "epochs_run": int(df["epoch"].iloc[-1]),
+        "best_val_epoch": int(df["epoch"].iloc[best_i]),
+        "best_val_acc": float(df["val_acc"].iloc[best_i]),
+        "test_acc": float(df["test_acc"].iloc[best_i]),
+        "test_acc_modal_0": float(df["test_acc_modal_0"].iloc[best_i]),
+        "test_acc_modal_1": float(df["test_acc_modal_1"].iloc[best_i]),
+        "final_train_acc": float(df["acc"].iloc[-1]),
+    }
+    offcsv = os.path.join(run_dir, "mmtm_off_eval", "eval_history_batch", "history.csv")
+    if os.path.exists(offcsv):
+        row = pd.read_csv(offcsv).iloc[-1]
+        out.update(
+            flowoff_test_acc=float(row["test_acc"]),
+            flowoff_test_acc_modal_0=float(row["test_acc_modal_0"]),
+            flowoff_test_acc_modal_1=float(row["test_acc_modal_1"]),
+        )
+    return out
+
+
+def run_one(impl, arm, seed, workdir, data, epochs):
+    """Train + recording + flow-off for one (implementation, arm, seed)."""
+    name = f"{impl}_{arm}_s{seed}"
+    run = os.path.join(workdir, name)
+    log = os.path.join(workdir, f"{name}.log")
+    config = f"configs/training_{arm}.gin"
+
+    if impl == "ref":
+        runner = [sys.executable, os.path.join(HERE, "run_reference.py")]
+        env = {"PARITY_TORCH_SEED": str(seed)}
+        train_cmd = runner + ["train", run, config, common_bindings(data, seed, epochs)]
+        rec_cmd = runner + ["eval", run, "configs/recording.gin", eval_bindings(data, run, "rec")]
+        off_cmd = runner + [
+            "eval", os.path.join(run, "mmtm_off_eval"), "configs/eval.gin",
+            eval_bindings(data, run, "off"),
+        ]
+    else:
+        env = jax_cpu_env()
+        train_cmd = [
+            sys.executable, "train.py", run, config,
+            common_bindings(data, seed, epochs) + f"#train.seed={seed}",
+        ]
+        rec_cmd = [sys.executable, "eval.py", run, "configs/recording.gin", eval_bindings(data, run, "rec")]
+        off_cmd = [
+            sys.executable, "eval.py", os.path.join(run, "mmtm_off_eval"), "configs/eval.gin",
+            eval_bindings(data, run, "off"),
+        ]
+
+    if not train_complete(run, epochs):
+        rc = sh(train_cmd, log, env)
+        if rc != 0:
+            return {"error": f"train rc={rc}"}
+    if not os.path.exists(os.path.join(run, "eval_history_batch", "history.pickle")):
+        rc = sh(rec_cmd, log, env)
+        if rc != 0:
+            return {"error": f"recording rc={rc}"}
+    if not os.path.exists(os.path.join(run, "mmtm_off_eval", "eval_history_batch", "history.csv")):
+        rc = sh(off_cmd, log, env)
+        if rc != 0:
+            return {"error": f"off-eval rc={rc}"}
+    try:
+        return summarize_run(run)
+    except Exception as e:
+        return {"error": repr(e)}
+
+
+def aggregate(summary, arms, seeds):
+    """Per-arm per-implementation means and the ref-vs-rebuild deltas."""
+    import numpy as np
+
+    table = {}
+    for arm in arms:
+        table[arm] = {}
+        for metric in ("test_acc", "test_acc_modal_0", "test_acc_modal_1",
+                       "flowoff_test_acc", "flowoff_test_acc_modal_0",
+                       "flowoff_test_acc_modal_1", "best_val_acc"):
+            vals = {}
+            for impl in ("ref", "jax"):
+                xs = [
+                    summary[f"{impl}_{arm}_s{s}"][metric]
+                    for s in seeds
+                    if metric in summary.get(f"{impl}_{arm}_s{s}", {})
+                ]
+                if xs:
+                    vals[impl] = {"mean": float(np.mean(xs)), "std": float(np.std(xs)), "n": len(xs)}
+            if "ref" in vals and "jax" in vals:
+                vals["delta_jax_minus_ref"] = round(vals["jax"]["mean"] - vals["ref"]["mean"], 3)
+            table[arm][metric] = vals
+    return table
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir")
+    ap.add_argument("--epochs", type=int, default=21)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[777, 778, 779, 780])
+    ap.add_argument("--arms", nargs="+", default=["guided", "random"], choices=["guided", "random"])
+    ap.add_argument("--impls", nargs="+", default=["ref", "jax"], choices=["ref", "jax"])
+    args = ap.parse_args()
+
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    data = os.path.join(workdir, "data")
+    if not os.path.exists(os.path.join(data, "metadata.json")):
+        rc = sh([sys.executable, os.path.join(HERE, "make_dataset.py"), data],
+                os.path.join(workdir, "datagen.log"))
+        assert rc == 0, "dataset generation failed"
+
+    summary_path = os.path.join(workdir, "parity_summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f).get("runs", {})
+
+    for arm in args.arms:
+        for seed in args.seeds:
+            for impl in args.impls:
+                name = f"{impl}_{arm}_s{seed}"
+                if name in summary and "error" not in summary[name]:
+                    continue
+                summary[name] = run_one(impl, arm, seed, workdir, data, args.epochs)
+                out = {
+                    "runs": summary,
+                    "aggregate": aggregate(summary, args.arms, args.seeds),
+                    "config": {"epochs": args.epochs, "seeds": args.seeds,
+                               "nclasses": NCLASSES, "image": IMAGE},
+                }
+                with open(summary_path, "w") as f:
+                    json.dump(out, f, indent=2)
+                print(json.dumps({name: summary[name]}), flush=True)
+
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
