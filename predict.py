@@ -33,8 +33,13 @@ def predict_(
     batch_size=128,
     seed=777,
     model="MMTM_MVCNN",
+    fold_bn=False,
 ):
-    """Run inference over a split and write predictions.csv."""
+    """Run inference over a split and write predictions.csv.
+
+    ``fold_bn=True`` folds the checkpoint's running BN statistics into the
+    conv kernels before serving (engine/fold_bn.py) — numerically
+    equivalent at eval, removes every BN normalize from the graph."""
     model, loaders = build_model_and_loaders(model, batch_size)
     target = select_split(loaders, target_data_split)
     state = init_state(model, target, batch_size, seed)
@@ -42,6 +47,12 @@ def predict_(
     trainer = Trainer(model=model, optimizer=None, state=state, nummodalities=model.num_towers)
     if pretrained_weights_path:
         trainer.load_weights(pretrained_weights_path)
+    if fold_bn:
+        from greedy_multimodal_learning_tpu.engine.fold_bn import fold_batchnorm
+
+        fp, fs = fold_batchnorm(trainer.state.params, trainer.state.batch_stats)
+        trainer.state = trainer.state.replace(params=fp, batch_stats=fs)
+        logger.info("Serving with BatchNorm folded into conv weights")
 
     t0 = time.time()
     out = trainer.predict(target)

@@ -14,11 +14,31 @@ models/mmtm.py; shapes = reference model.py:53-60 at 224x224), computes:
     *estimate* of the unavoidable lane waste for small channel counts --
     XLA's actual conv lowering may tile differently.
 
+Beyond the conv roofline, the non-matmul apparatus is modeled explicitly
+(round-3 extension; VERDICT r2 demanded >=90% of the measured step be
+accounted for):
+
+  * batch-norm TRAINING passes over every conv output: the batch-stat
+    reduction must read the conv output before normalize can run, so fwd
+    costs ~3 sweeps of the map (stats read, normalize read, write — the
+    normalize+ReLU fuse into one read-modify-write) and bwd ~4 (read grad,
+    read saved activation for the two stat-gradient reductions, write dx;
+    the reductions share reads in the best case),
+  * residual adds (read both operands + write, fwd; bwd fan-out is free —
+    the add's cotangent feeds both branches without a materialized pass),
+  * the on-device uint8 preprocess (read u8, write bf16, fwd only),
+  * maxpool fwd + bwd scatter.
+
+Sweep counts are parameterized (--bn-fwd-sweeps / --bn-bwd-sweeps) so the
+model's sensitivity is inspectable; defaults are the minimum an XLA-style
+fusion can achieve with training-mode BN.
+
 Speed-of-light time per stage = max(FLOPs/(peak*eff), bytes/HBM_BW); the
 table reports both terms so compute- vs bandwidth-bound stages are
 explicit.  v5e: 197 TFLOP/s bf16 peak, 819 GB/s HBM.
 
-Usage: python3 tools/sol_table.py [--batch 256]
+Usage: python3 tools/sol_table.py [--batch 256] [--measured-ms 69.2]
+       [--eval] (inference pass: no bwd, BN folded into conv weights)
 """
 
 import argparse
@@ -32,57 +52,92 @@ def ceil128(x):
     return ((x + 127) // 128) * 128
 
 
-def conv(name, hw_in, cin, cout, k, stride, n, bwd_dx=True):
+def conv(name, hw_in, cin, cout, k, stride, n, bwd_dx=True, train=True):
     """One conv applied n times (towers x repeats). Returns stage dict."""
     hw_out = hw_in // stride
     macs = hw_out * hw_out * cout * cin * k * k  # per sample per apply
     fwd_flops = 2 * macs
     # bwd: dW conv (= fwd MACs) always; dX conv (= fwd MACs) unless first layer
-    bwd_flops = fwd_flops * (2 if bwd_dx else 1)
+    bwd_flops = fwd_flops * (2 if bwd_dx else 1) if train else 0
     in_bytes = hw_in * hw_in * cin * BYTES
     out_bytes = hw_out * hw_out * cout * BYTES
     w_bytes = cout * cin * k * k * BYTES
     keff = cin * k * k
     eff = (keff / ceil128(keff)) * (cout / ceil128(cout))
+    sweeps = 3 if train else 1  # fwd + (bwd: saved-act re-read + grad flows)
     return dict(
         name=name,
         n=n,
         fwd_flops=fwd_flops,
         tot_flops=fwd_flops + bwd_flops,
-        # per-sample activation traffic (fwd + ~2x for bwd: saved-activation
-        # re-read + grad flows); weights move once per conv apply, not per
-        # sample (read fwd, read for dX, write dW)
-        tot_traffic=3 * (in_bytes + out_bytes),
-        w_traffic=3 * w_bytes,
+        # per-sample activation traffic; weights move once per conv apply,
+        # not per sample (read fwd, read for dX, write dW)
+        tot_traffic=sweeps * (in_bytes + out_bytes),
+        w_traffic=sweeps * w_bytes,
         eff=eff,
+        hw_out=hw_out,
+        cout=cout,
     )
 
 
 def elementwise(name, hw, c, n, passes):
-    """Bandwidth-only stage (pool / MMTM gating scale): `passes` full
-    read+write sweeps of a (hw, hw, c) map, fwd+bwd combined."""
-    t = passes * 2 * hw * hw * c * BYTES
+    """Bandwidth-only stage (pool / BN / ReLU / residual / MMTM gating):
+    ``passes`` full read-or-write sweeps of a (hw, hw, c) map."""
+    t = passes * hw * hw * c * BYTES
     return dict(name=name, n=n, fwd_flops=0, tot_flops=0, tot_traffic=t, w_traffic=0, eff=1.0)
 
 
-def model_stages():
+def bn_relu(name, hw, c, n, fwd_sweeps, bwd_sweeps, train=True):
+    """Training-mode batch norm + ReLU over a conv output map."""
+    passes = fwd_sweeps + (bwd_sweeps if train else 0)
+    return elementwise(name, hw, c, n, passes)
+
+
+def model_stages(*, train=True, bn_fold=False, bn_fwd=3, bn_bwd=4):
+    """``train=False, bn_fold=True`` models the inference pass with BN scale
+    folded into conv weights (engine/fold_bn.py): BN disappears entirely
+    and each conv gains only a per-channel bias add (fused into the conv
+    epilogue — no extra sweep)."""
     s = []
-    s.append(conv("conv1 7x7 s2 (stem)", 224, 3, 64, 7, 2, n=2, bwd_dx=False))
-    s.append(elementwise("maxpool 3x3 s2", 112, 64, n=2, passes=2))
-    s.append(conv("layer1 3x3 64ch @56^2", 56, 64, 64, 3, 1, n=2 * 4))
-    s.append(conv("layer2.0 3x3 64->128 s2", 56, 64, 128, 3, 2, n=2))
-    s.append(conv("layer2 3x3 128ch @28^2", 28, 128, 128, 3, 1, n=2 * 3))
-    s.append(conv("layer2 ds 1x1 s2", 56, 64, 128, 1, 2, n=2))
-    s.append(conv("layer3.0 3x3 128->256 s2", 28, 128, 256, 3, 2, n=2))
-    s.append(conv("layer3 3x3 256ch @14^2", 14, 256, 256, 3, 1, n=2 * 3))
-    s.append(conv("layer3 ds 1x1 s2", 28, 128, 256, 1, 2, n=2))
-    s.append(conv("layer4.0 3x3 256->512 s2", 14, 256, 512, 3, 2, n=2))
-    s.append(conv("layer4 3x3 512ch @7^2", 7, 512, 512, 3, 1, n=2 * 3))
-    s.append(conv("layer4 ds 1x1 s2", 14, 256, 512, 1, 2, n=2))
+    s.append(conv("conv1 7x7 s2 (stem)", 224, 3, 64, 7, 2, n=2, bwd_dx=False, train=train))
+    convs_for_bn = [(112, 64, 2, "stem")]  # (hw_out, cout, count, tag)
+    s.append(elementwise("maxpool 3x3 s2", 112, 64, n=2, passes=4 if train else 2))
+    s.append(conv("layer1 3x3 64ch @56^2", 56, 64, 64, 3, 1, n=2 * 4, train=train))
+    convs_for_bn.append((56, 64, 2 * 4, "layer1"))
+    s.append(conv("layer2.0 3x3 64->128 s2", 56, 64, 128, 3, 2, n=2, train=train))
+    s.append(conv("layer2 3x3 128ch @28^2", 28, 128, 128, 3, 1, n=2 * 3, train=train))
+    s.append(conv("layer2 ds 1x1 s2", 56, 64, 128, 1, 2, n=2, train=train))
+    convs_for_bn.append((28, 128, 2 * 5, "layer2"))
+    s.append(conv("layer3.0 3x3 128->256 s2", 28, 128, 256, 3, 2, n=2, train=train))
+    s.append(conv("layer3 3x3 256ch @14^2", 14, 256, 256, 3, 1, n=2 * 3, train=train))
+    s.append(conv("layer3 ds 1x1 s2", 28, 128, 256, 1, 2, n=2, train=train))
+    convs_for_bn.append((14, 256, 2 * 5, "layer3"))
+    s.append(conv("layer4.0 3x3 256->512 s2", 14, 256, 512, 3, 2, n=2, train=train))
+    s.append(conv("layer4 3x3 512ch @7^2", 7, 512, 512, 3, 1, n=2 * 3, train=train))
+    s.append(conv("layer4 ds 1x1 s2", 14, 256, 512, 1, 2, n=2, train=train))
+    convs_for_bn.append((7, 512, 2 * 5, "layer4"))
+
+    if not bn_fold:
+        for hw, c, count, tag in convs_for_bn:
+            s.append(bn_relu(f"BN+ReLU {tag} @{hw}^2/{c}ch", hw, c, count,
+                             bn_fwd, bn_bwd, train=train))
+    else:
+        # folded: ReLU alone fuses into the conv epilogue — zero extra sweeps
+        pass
+
+    # residual adds: 2 blocks/layer/tower, read both operands + write (fwd)
+    for hw, c in ((56, 64), (28, 128), (14, 256), (7, 512)):
+        s.append(elementwise(f"residual add @{hw}^2/{c}ch", hw, c, n=2 * 2, passes=3))
+
+    # on-device preprocess: read uint8 views, write bf16 normalized
+    # (u8 read is 1 byte/elt = 0.5 sweep in bf16 units)
+    s.append(elementwise("preprocess u8->bf16", 224, 3 * 2, n=1, passes=1.5))
+
     # MMTM gating at 28^2/128, 14^2/256, 7^2/512: squeeze read + scale
-    # read-modify-write of both towers' maps, fwd + bwd (~2 sweeps each).
+    # read-modify-write of both towers' maps, fwd + bwd (~2 sweeps each
+    # direction per map, x2 maps)
     for hw, c in ((28, 128), (14, 256), (7, 512)):
-        s.append(elementwise(f"mmtm gating @{hw}^2/{c}ch", hw, c, n=2, passes=4))
+        s.append(elementwise(f"mmtm gating @{hw}^2/{c}ch", hw, c, n=2, passes=8 if train else 4))
     return s
 
 
@@ -90,11 +145,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--measured-ms", type=float, default=None, help="measured step time to compare")
+    ap.add_argument("--eval", action="store_true", help="inference pass: fwd only, BN folded into conv")
+    ap.add_argument("--bn-fwd-sweeps", type=float, default=3.0)
+    ap.add_argument("--bn-bwd-sweeps", type=float, default=4.0)
     args = ap.parse_args()
     B = args.batch
+    train = not args.eval
 
     rows, tot_ideal, tot_eff, tot_bw, tot_flops = [], 0.0, 0.0, 0.0, 0.0
-    for st in model_stages():
+    stages = model_stages(train=train, bn_fold=args.eval,
+                          bn_fwd=args.bn_fwd_sweeps, bn_bwd=args.bn_bwd_sweeps)
+    for st in stages:
         flops = B * st["n"] * st["tot_flops"]
         traffic = st["n"] * (B * st["tot_traffic"] + st["w_traffic"])
         t_ideal = flops / PEAK
@@ -108,7 +169,8 @@ def main():
         tot_eff += max(t_eff, t_bw)
         tot_bw += t_bw
 
-    print(f"batch {B}, v5e bf16 peak {PEAK/1e12:.0f} TFLOP/s, HBM {HBM/1e9:.0f} GB/s\n")
+    mode = "eval (fwd, BN folded)" if args.eval else "train (fwd+bwd, BN batch stats)"
+    print(f"batch {B}, {mode}, v5e bf16 peak {PEAK/1e12:.0f} TFLOP/s, HBM {HBM/1e9:.0f} GB/s\n")
     print("| stage (x count) | GFLOP | MXU eff | t_MXU ms | t_HBM ms | SoL ms | bound |")
     print("|---|---:|---:|---:|---:|---:|---|")
     for name, n, gf, eff, te, tb, sol, bound in rows:
@@ -123,7 +185,8 @@ def main():
         print(
             f"measured step: {args.measured_ms:.1f} ms -> "
             f"{tot_ideal*1e3/args.measured_ms*100:.0f}% of ideal peak (MFU), "
-            f"{tot_eff*1e3/args.measured_ms*100:.0f}% of tiling/bandwidth-adjusted SoL"
+            f"{tot_eff*1e3/args.measured_ms*100:.0f}% of tiling/bandwidth-adjusted SoL "
+            f"(modeled covers {tot_eff*1e3/args.measured_ms*100:.0f}% of measured)"
         )
 
 
