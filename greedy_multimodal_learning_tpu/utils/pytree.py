@@ -26,6 +26,7 @@ def tree_to_numpy(tree):
 
 _PACK_CHUNK = 128
 _PACK_MIN_LEAVES = 256
+_PACK_MIN_BYTES = 2 * 1024**2  # pack few-leaf trees too when payload is large
 
 
 @_functools.lru_cache(maxsize=256)
@@ -72,7 +73,17 @@ def bulk_device_get(tree):
     # zero compiles.  Packing remains for high-leaf-count trees (e.g. a
     # train epoch's ~720 scalar records) where one cached compile
     # amortizes over every subsequent epoch of the process.
-    if len(device_ix) < _PACK_MIN_LEAVES:
+    #
+    # EXCEPT when the payload is large: the scanned recording eval fetches
+    # ~15 packed-record buffers of ~0.5 MB each — few leaves, many bytes —
+    # and the plain per-buffer path measured 295 s on the tunneled backend
+    # (~30 KB/s effective) while a packed flat buffer moves at link rate.
+    # Identically-shaped records share one concat signature, so the pack
+    # costs one cached compile total.
+    device_bytes = sum(
+        leaves[i].size * np.dtype(leaves[i].dtype).itemsize for i in device_ix
+    )
+    if len(device_ix) < _PACK_MIN_LEAVES and device_bytes < _PACK_MIN_BYTES:
         for i in device_ix:
             if hasattr(leaves[i], "copy_to_host_async"):
                 leaves[i].copy_to_host_async()
