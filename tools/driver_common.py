@@ -1,0 +1,57 @@
+"""Shared phase runner for the experiment drivers.
+
+Two driving modes for a train/eval phase (identical CLI surface either way,
+reference: README.md:14-23):
+
+- subprocess (default): one fresh ``python train.py/eval.py`` per phase, the
+  reference's own driving mode.  Fully isolated, but every phase re-pays
+  interpreter + jax import, jit compilation, and — on the remote-tunneled TPU
+  backend — the device-corpus upload.
+- in-process (``--in-process``): phases run via run_api.run_entry inside the
+  driver process, so jit caches and the device-resident corpus stay warm
+  across an entire suite.  Equivalence with the subprocess mode is pinned by
+  tests/test_run_api.py.  The drivers stay resumable, so a crashed in-process
+  suite can be re-invoked (in either mode) and picks up where it left off.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_phase(entry, save, config, bindings, log_path, in_process=False, env_extra=None):
+    """Run one train/eval phase; returns a process-style rc (0 = success)."""
+    if in_process:
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        from greedy_multimodal_learning_tpu.run_api import run_entry
+
+        print(f"+ [in-process] {entry} {save} {config}", flush=True)
+        t0 = time.time()
+        try:
+            run_entry(entry, save, config, bindings)
+        except Exception:
+            with open(log_path, "a") as log:
+                log.write(traceback.format_exc())
+            print(f"  -> FAILED in {time.time() - t0:.0f}s (traceback in {log_path})", flush=True)
+            return 1
+        print(f"  -> ok in {time.time() - t0:.0f}s", flush=True)
+        return 0
+
+    script = {"train": "train.py", "eval": "eval.py"}[entry]
+    cmd = [sys.executable, script, save, config, bindings]
+    print(f"+ {' '.join(cmd)}", flush=True)
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env)
+    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
+    return proc.returncode

@@ -25,6 +25,8 @@ import sys
 import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from driver_common import run_phase
 
 
 def sh(cmd, log_path):
@@ -105,6 +107,13 @@ def main():
         "the framework extension — configs/training_weakest.gin)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument(
+        "--in-process",
+        action="store_true",
+        help="drive phases via run_api.run_entry in this process (warm jit "
+        "caches + device corpus across the suite) instead of one "
+        "subprocess per phase; see tools/driver_common.py",
+    )
     args = ap.parse_args()
 
     # Subprocesses run with cwd=REPO: a relative workdir would split
@@ -141,7 +150,7 @@ def main():
                     # interrupted earlier invocation: finish it via the
                     # framework's exact-resume path instead of skipping
                     bindings += "#training_loop.resume=True"
-                rc = sh([sys.executable, "train.py", run, config, bindings], log)
+                rc = run_phase("train", run, config, bindings, log, args.in_process)
                 if rc != 0:
                     summary[name] = {"error": f"train rc={rc}"}
                     continue
@@ -151,7 +160,7 @@ def main():
                 f"eval_.pretrained_weights_path='{ckpt}'#get_mvdcndata.root_dir='{data}'"
             )
             if not os.path.exists(os.path.join(run, "eval_history_batch", "history.pickle")):
-                sh([sys.executable, "eval.py", run, "configs/recording.gin", rec_bindings], log)
+                run_phase("eval", run, "configs/recording.gin", rec_bindings, log, args.in_process)
 
             off_dir = os.path.join(run, "mmtm_off_eval")
             off_bindings = (
@@ -161,7 +170,7 @@ def main():
                 f"#get_mvdcndata.root_dir='{data}'"
             )
             if not os.path.exists(os.path.join(off_dir, "eval_history_batch", "history.csv")):
-                sh([sys.executable, "eval.py", off_dir, "configs/eval.gin", off_bindings], log)
+                run_phase("eval", off_dir, "configs/eval.gin", off_bindings, log, args.in_process)
 
             import pandas as pd  # noqa: F401  (import check before summarize)
 

@@ -25,6 +25,8 @@ import sys
 import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from driver_common import run_phase
 
 # Small-but-real scale: 10 classes, 400/150 clips, 8 frames @32^2,
 # width 0.5 — minutes per arm on one chip, still imbalanced enough that
@@ -105,6 +107,13 @@ def main():
         "the N-modality extension — see configs/training_3dcnn_weakest.gin)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=50)
+    ap.add_argument(
+        "--in-process",
+        action="store_true",
+        help="drive phases via run_api.run_entry in this process (warm jit "
+        "caches + device corpus across the suite) instead of one "
+        "subprocess per phase; see tools/driver_common.py",
+    )
     args = ap.parse_args()
 
     args.workdir = os.path.abspath(args.workdir)
@@ -146,7 +155,7 @@ def main():
             if not train_complete(run, args.epochs):
                 if os.path.exists(os.path.join(run, "history.csv")):
                     bindings += "#training_loop.resume=True"
-                rc = sh([sys.executable, "train.py", run, config, bindings], log)
+                rc = run_phase("train", run, config, bindings, log, args.in_process)
                 if rc != 0:
                     summary[name] = {"error": f"train rc={rc}"}
                     continue
@@ -154,7 +163,7 @@ def main():
             ckpt = os.path.join(run, "model_best_val.pt")
             rec_bindings = common + f"#eval_.pretrained_weights_path='{ckpt}'"
             if not os.path.exists(os.path.join(run, "eval_history_batch", "history.pickle")):
-                sh([sys.executable, "eval.py", run, "configs/recording_3dcnn.gin", rec_bindings], log)
+                run_phase("eval", run, "configs/recording_3dcnn.gin", rec_bindings, log, args.in_process)
 
             off_dir = os.path.join(run, "mmtm_off_eval")
             off_bindings = (
@@ -164,7 +173,7 @@ def main():
                 + f"#eval_.pretrained_weights_path='{ckpt}'"
             )
             if not os.path.exists(os.path.join(off_dir, "eval_history_batch", "history.csv")):
-                sh([sys.executable, "eval.py", off_dir, "configs/eval_3dcnn.gin", off_bindings], log)
+                run_phase("eval", off_dir, "configs/eval_3dcnn.gin", off_bindings, log, args.in_process)
 
             try:
                 summary[name] = summarize_run(run)
