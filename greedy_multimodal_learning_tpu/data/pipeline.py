@@ -240,6 +240,8 @@ class DeviceCachePipeline(BatchPipeline):
         return (len(self.indices) + 1) * img.nbytes  # +1 pad row
 
     def _budget_ok(self, device) -> bool:
+        import logging
+
         nbytes = self._corpus_nbytes()
         try:
             stats = device.memory_stats()
@@ -249,15 +251,21 @@ class DeviceCachePipeline(BatchPipeline):
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
             ok = nbytes <= self.budget_frac * free
             if not ok:
-                import logging
-
                 logging.getLogger(__name__).warning(
                     "device cache: corpus %.1f MB exceeds %.0f%% of free device "
                     "memory (%.1f MB) — falling back to streaming batches",
                     nbytes / 1e6, 100 * self.budget_frac, free / 1e6,
                 )
             return ok
-        return nbytes <= self.fallback_budget_bytes
+        ok = nbytes <= self.fallback_budget_bytes
+        if not ok:  # the fallback must be as loud as the stats-based branch
+            logging.getLogger(__name__).warning(
+                "device cache: corpus %.1f MB exceeds the %.0f MB fallback "
+                "budget (backend reports no memory stats) — falling back to "
+                "streaming batches",
+                nbytes / 1e6, self.fallback_budget_bytes / 1e6,
+            )
+        return ok
 
     def _ensure_corpus(self) -> bool:
         """Upload once; returns False (and latches streaming) on any failure."""
@@ -276,6 +284,12 @@ class DeviceCachePipeline(BatchPipeline):
             if not self._budget_ok(device):
                 self._streaming = True
                 return False
+            # Corpus assembly fills the dataset's host sample cache, which
+            # the cached iteration path never reads again; remember which
+            # entries we add so they can be released after a successful
+            # upload (keeps pre-warmed entries for the streaming fallback).
+            host_cache = getattr(self.dataset, "_cache", None)
+            pre_cached = set(host_cache) if host_cache is not None else None
             items = [self.dataset[int(i)] for i in self.indices]
             imgs = np.stack([it[1] for it in items])
             # reserved all-zero pad row (matches _collate's zero padding)
@@ -294,6 +308,11 @@ class DeviceCachePipeline(BatchPipeline):
             self._gather = jax.jit(
                 lambda img, lab, rows, mask: (img[rows], lab[rows], mask)
             )
+            if host_cache is not None and pre_cached is not None:
+                # upload succeeded: don't hold a second (host) copy of the
+                # split for the process lifetime
+                for k in [k for k in host_cache if k not in pre_cached]:
+                    del host_cache[k]
             logger.info(
                 "device cache: %d samples (%.1f MB uint8) resident on %s",
                 len(items), imgs.nbytes / 1e6, device,
@@ -336,6 +355,30 @@ class DeviceCachePipeline(BatchPipeline):
                 "mask": dmask,
                 "size": size,
             }
+
+
+def warn_if_cached_multidevice(pipelines, mesh) -> None:
+    """Flag the device-0 pinning trade-off under a multi-device mesh.
+
+    A :class:`DeviceCachePipeline` keeps its corpus and batch gather on
+    ``jax.devices()[0]`` (budget-checked there only); under a >1-device mesh
+    every batch is then re-sharded device-to-device.  That rides ICI (fast)
+    rather than host links, but consumes device-0 HBM asymmetrically —
+    whether it beats direct host->mesh streaming is workload- and
+    link-dependent, so warn instead of silently choosing."""
+    import logging
+
+    if mesh is None or mesh.size <= 1:
+        return
+    cached = [type(p).__name__ for p in pipelines if isinstance(p, DeviceCachePipeline)]
+    if cached:
+        logging.getLogger(__name__).warning(
+            "device cache + %d-device mesh: the corpus and batch gather are "
+            "pinned to device 0 and every batch is re-sharded device-to-device; "
+            "bind device_cache=False to stream host batches straight to the "
+            "mesh if device-0 memory or the extra hop matters",
+            mesh.size,
+        )
 
 
 def wrap_device_cache(pipeline: BatchPipeline, enabled="auto") -> BatchPipeline:

@@ -177,6 +177,9 @@ def training_loop(
 
         mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
         logger.info("Data-parallel mesh: %s", dict(mesh.shape))
+        from ..data.pipeline import warn_if_cached_multidevice
+
+        warn_if_cached_multidevice([p for p in (train, valid, test) if p is not None], mesh)
 
     trainer = Trainer(
         model=model,
@@ -321,6 +324,9 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
 
         mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
         logger.info("Eval data-parallel mesh: %s", dict(mesh.shape))
+        from ..data.pipeline import warn_if_cached_multidevice
+
+        warn_if_cached_multidevice([test] if test is not None else [], mesh)
 
     trainer = Trainer(
         model=model,

@@ -4,8 +4,10 @@ The reference ships these only as top-level scripts (reference: train.py:43-70,
 eval.py:23-58); here the configurable functions live in the package so they can
 be driven programmatically (``run_api.run_entry``) as well as from the CLI —
 experiment drivers chain train → recording → flow-off phases in ONE process,
-paying imports, jit traces, and device-corpus uploads once per seed instead of
-once per phase.
+paying interpreter start, jax import, and remote-backend initialization once
+per suite instead of once per phase (each phase still re-traces and re-uploads
+its corpus; compiles are amortized by the persistent compilation cache — see
+run_api.py for the exact warm/cold breakdown).
 """
 
 import logging

@@ -1,15 +1,20 @@
 """Programmatic run API: drive train/eval phases in-process.
 
-``run_entry("train", save, config, bindings)`` is the exact in-process
-equivalent of ``python train.py SAVE CONFIG [BINDINGS]`` (reference CLI
-surface: README.md:14-23, src/utils.py:58-68): it clears previously parsed
-bindings, parses the '#'-separated config mixins and bindings, writes
+``run_entry("train", save, config, bindings)`` is the in-process equivalent
+of ``python train.py SAVE CONFIG [BINDINGS]`` (reference CLI surface:
+README.md:14-23, src/utils.py:58-68): it clears previously parsed bindings,
+parses the '#'-separated config mixins and bindings, writes
 ``operative_config.gin``, tees stdout/stderr into the save dir, and invokes
 the entry.  Sequential calls in one process therefore behave like fresh CLI
-invocations — each phase re-parses config and re-seeds its data pipeline —
-minus the per-process costs (interpreter + jax import, jit traces, and the
-device-resident corpus upload all stay warm), which on a remote-tunneled TPU
-backend dominate short eval phases.
+invocations — each phase re-parses config, re-seeds its data pipeline,
+builds a fresh model/trainer (so jit closures re-trace), and re-uploads the
+device corpus.  What stays warm across phases is the per-process fixed
+cost: interpreter start, jax import, and remote-backend/tunnel
+initialization; compiled executables are re-used across phases AND
+processes through the persistent XLA compilation cache the package enables
+at import (``__init__.py::_enable_compilation_cache``), so the saving is
+real on short eval phases but comes from process setup + compile-cache
+hits, not from retained traces.
 
 Equivalence with the subprocess CLI is pinned by tests/test_run_api.py
 (bit-identical history.csv / recording pickle / flow-off metrics).
@@ -49,22 +54,32 @@ def run_entry(entry, save_path, config, bindings="", redirect=True):
         raise ValueError(f"entry must be one of {sorted(fns)}, got {entry!r}")
     fn = fns[entry]
 
-    cfg.clear_config()
-    cfg.parse_config_files_and_bindings(config.split("#"), bindings.replace("#", "\n"))
-    if not os.path.exists(save_path):
-        logger.info("Creating folder %s", save_path)
-        os.makedirs(save_path, exist_ok=True)
-    with open(os.path.join(save_path, "operative_config.gin"), "w") as f:
-        f.write(cfg.operative_config_str())
+    if entry == "train":
+        # train.py initializes multi-host coordination at module scope;
+        # the in-process path must match (idempotent no-op off-cluster).
+        from .parallel import maybe_initialize_distributed
 
-    call = fn
-    if redirect:
-        call = run_with_redirection(
-            os.path.join(save_path, "stdout.txt"),
-            os.path.join(save_path, "stderr.txt"),
-            fn,
-        )
+        maybe_initialize_distributed()
+
+    cfg.clear_config()
     try:
+        # Inside the try: a half-parsed bindings string (ConfigError on a
+        # later line) must not leak applied lines into the caller's next
+        # phase — the finally clears whatever was applied.
+        cfg.parse_config_files_and_bindings(config.split("#"), bindings.replace("#", "\n"))
+        if not os.path.exists(save_path):
+            logger.info("Creating folder %s", save_path)
+            os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, "operative_config.gin"), "w") as f:
+            f.write(cfg.operative_config_str())
+
+        call = fn
+        if redirect:
+            call = run_with_redirection(
+                os.path.join(save_path, "stdout.txt"),
+                os.path.join(save_path, "stderr.txt"),
+                fn,
+            )
         return call(save_path)
     finally:
         cfg.clear_config()

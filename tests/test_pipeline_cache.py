@@ -192,3 +192,53 @@ def test_cached_training_run_matches_streamed(modelnet_root):
         assert ls["loss"] == lc["loss"]
         assert ls["acc"] == lc["acc"]
         np.testing.assert_array_equal(ls["train_indices"], lc["train_indices"])
+
+
+def test_host_cache_released_after_upload(modelnet_root):
+    """Corpus assembly must not leave a second full copy of the split in the
+    dataset's host cache (the cached path never reads host samples again)."""
+    streamed, cached = _pipelines(modelnet_root)
+    ds = cached.dataset
+    assert ds._cache == {}  # nothing touched yet
+    pre = ds[0]  # pre-warmed entry must survive the release
+    assert list(ds._cache) == [0]
+    assert cached._ensure_corpus()
+    assert list(ds._cache) == [0], "upload-added entries must be released"
+    del pre
+
+
+def test_fallback_budget_refusal_logs(modelnet_root, caplog, monkeypatch):
+    """The no-memory-stats budget branch must warn like the stats branch."""
+    import logging
+
+    streamed, cached = _pipelines(modelnet_root)
+    monkeypatch.setattr(type(cached), "fallback_budget_bytes", 1, raising=False)
+
+    class NoStats:
+        def memory_stats(self):
+            raise RuntimeError("unsupported")
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [NoStats()])
+    with caplog.at_level(logging.WARNING):
+        ok = cached._ensure_corpus()
+    assert not ok and cached._streaming
+    assert any("fallback budget" in r.message for r in caplog.records)
+
+
+def test_cached_multidevice_warns(modelnet_root, caplog):
+    """Under a >1-device mesh the device-0 pinning must be flagged."""
+    import logging
+
+    from greedy_multimodal_learning_tpu.data.pipeline import warn_if_cached_multidevice
+    from greedy_multimodal_learning_tpu.parallel import make_mesh
+
+    _, cached = _pipelines(modelnet_root)
+    mesh = make_mesh(jax.devices())
+    assert mesh.size > 1  # conftest forces the 8-virtual-device harness
+    with caplog.at_level(logging.WARNING):
+        warn_if_cached_multidevice([cached], mesh)
+    assert any("pinned to device 0" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        warn_if_cached_multidevice([cached], None)  # no mesh: silent
+    assert not caplog.records

@@ -170,3 +170,33 @@ def test_run_entry_clears_bindings(tmp_path):
 
     with pytest.raises(ValueError):
         run_entry("predict", save, "configs/training_random.gin")
+
+
+def test_run_entry_clears_bindings_on_parse_error(tmp_path):
+    """A malformed bindings string must not leak already-applied lines into
+    the caller's next phase."""
+    from greedy_multimodal_learning_tpu import config as cfg
+
+    with pytest.raises(Exception):
+        run_entry(
+            "train",
+            str(tmp_path / "bad"),
+            "configs/training_random.gin",
+            "train.batch_size=4#this is not a binding",
+        )
+    assert cfg.query("train", "batch_size") is None
+
+
+def test_run_phase_rejects_env_extra_in_process(tmp_path):
+    """Backend-selecting env vars cannot apply once jax is initialized."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    from driver_common import run_phase
+
+    with pytest.raises(ValueError, match="env_extra"):
+        run_phase(
+            "train", str(tmp_path / "r"), "configs/training_random.gin", "",
+            str(tmp_path / "r.log"), in_process=True,
+            env_extra={"JAX_PLATFORMS": "cpu"},
+        )

@@ -8,10 +8,13 @@ reference: README.md:14-23):
   interpreter + jax import, jit compilation, and — on the remote-tunneled TPU
   backend — the device-corpus upload.
 - in-process (``--in-process``): phases run via run_api.run_entry inside the
-  driver process, so jit caches and the device-resident corpus stay warm
-  across an entire suite.  Equivalence with the subprocess mode is pinned by
-  tests/test_run_api.py.  The drivers stay resumable, so a crashed in-process
-  suite can be re-invoked (in either mode) and picks up where it left off.
+  driver process, paying interpreter start, jax import, and remote-backend
+  initialization once per suite instead of once per phase (each phase still
+  re-traces and re-uploads its corpus; compiles are amortized by the
+  persistent compilation cache either way).  Equivalence with the subprocess
+  mode is pinned by tests/test_run_api.py.  The drivers stay resumable, so a
+  crashed in-process suite can be re-invoked (in either mode) and picks up
+  where it left off.
 """
 
 from __future__ import annotations
@@ -28,6 +31,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_phase(entry, save, config, bindings, log_path, in_process=False, env_extra=None):
     """Run one train/eval phase; returns a process-style rc (0 = success)."""
     if in_process:
+        if env_extra:
+            # jax is already initialized in this process; backend-selecting
+            # env vars cannot take effect — fail loudly instead of running
+            # the phase on the wrong backend.
+            raise ValueError(
+                f"env_extra={env_extra!r} cannot be applied in-process; "
+                "use subprocess mode for phases that need their own environment"
+            )
         if REPO not in sys.path:
             sys.path.insert(0, REPO)
         from greedy_multimodal_learning_tpu.run_api import run_entry

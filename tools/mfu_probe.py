@@ -198,7 +198,15 @@ def probe_bf16norm(B=256, steps=12, warmup=4):
         # normalize in compute dtype: no f32 materialization of the map
         return (x.astype(self.dtype) - mean.astype(self.dtype)) * inv + bias.astype(self.dtype)
 
-    for name, call in (("stock_f32norm", orig), ("bf16norm", fast_call)):
+    # A raw function assigned to Module.__call__ bypasses flax's metaclass
+    # method management (self.param would raise); re-apply the compact
+    # marker and flax's method wrapper to the probe variant.
+    from flax import linen as nn
+    from flax.linen import module as flax_module
+
+    patched = flax_module.wrap_method_once(nn.compact(fast_call))
+
+    for name, call in (("stock_f32norm", orig), ("bf16norm", patched)):
         L.TorchBatchNorm.__call__ = call
         try:
             state, step, _ = _build_train(B)
@@ -222,7 +230,14 @@ def main():
     log(f"devices: {jax.devices()}")
     out = {}
     for p in args.probes:
-        out[p] = {"b512": probe_b512, "bnfold": probe_bnfold, "bf16norm": probe_bf16norm}[p]()
+        # isolate probes: one failure must not discard the others' results
+        try:
+            out[p] = {"b512": probe_b512, "bnfold": probe_bnfold, "bf16norm": probe_bf16norm}[p]()
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            out[p] = {"error": repr(e)}
     import json
     print(json.dumps(out, indent=2))
 
