@@ -28,6 +28,20 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def sh(cmd, log_path, env_extra=None):
+    """Run one subprocess with stdout/stderr appended to ``log_path``;
+    prints the command and its rc/duration to the driver's own stdout."""
+    print(f"+ {' '.join(cmd)}", flush=True)
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env)
+    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
+    return proc.returncode
+
+
 def run_phase(entry, save, config, bindings, log_path, in_process=False, env_extra=None):
     """Run one train/eval phase; returns a process-style rc (0 = success)."""
     if in_process:
@@ -56,13 +70,4 @@ def run_phase(entry, save, config, bindings, log_path, in_process=False, env_ext
         return 0
 
     script = {"train": "train.py", "eval": "eval.py"}[entry]
-    cmd = [sys.executable, script, save, config, bindings]
-    print(f"+ {' '.join(cmd)}", flush=True)
-    env = dict(os.environ)
-    if env_extra:
-        env.update(env_extra)
-    t0 = time.time()
-    with open(log_path, "a") as log:
-        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env)
-    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
-    return proc.returncode
+    return sh([sys.executable, script, save, config, bindings], log_path, env_extra)

@@ -25,27 +25,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from driver_common import sh
 
 NCLASSES = 10
 IMAGE = 64
-
-
-def sh(cmd, log_path, env_extra=None):
-    print(f"+ {' '.join(cmd)}", flush=True)
-    env = dict(os.environ)
-    if env_extra:
-        env.update(env_extra)
-    t0 = time.time()
-    with open(log_path, "a") as log:
-        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env)
-    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
-    return proc.returncode
 
 
 def jax_cpu_env():

@@ -20,22 +20,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from driver_common import run_phase
-
-
-def sh(cmd, log_path):
-    print(f"+ {' '.join(cmd)}", flush=True)
-    t0 = time.time()
-    with open(log_path, "a") as log:
-        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
-    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
-    return proc.returncode
+from driver_common import run_phase, sh
 
 
 def train_complete(run_dir, n_epochs):

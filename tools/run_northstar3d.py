@@ -20,13 +20,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from driver_common import run_phase
+from driver_common import run_phase, sh
 
 # Small-but-real scale: 10 classes, 400/150 clips, 8 frames @32^2,
 # width 0.5 — minutes per arm on one chip, still imbalanced enough that
@@ -34,15 +32,6 @@ from driver_common import run_phase
 DATA_ARGS = ["--n-train", "400", "--n-test", "150", "--size", "32", "--frames", "8", "--nclasses", "10"]
 WIDTH = 0.5
 EPOCHS_DEFAULT = 60
-
-
-def sh(cmd, log_path):
-    print(f"+ {' '.join(cmd)}", flush=True)
-    t0 = time.time()
-    with open(log_path, "a") as log:
-        proc = subprocess.run(cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
-    print(f"  -> rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
-    return proc.returncode
 
 
 def train_complete(run_dir, n_epochs):
