@@ -214,9 +214,14 @@ def main():
                 if name in summary and "error" not in summary[name]:
                     continue
                 summary[name] = run_one(impl, arm, seed, workdir, data, args.epochs)
+                # aggregate over every (arm, seed) present in the merged
+                # runs, not just this invocation's — sequential invocations
+                # (e.g. per-arm) must not clobber each other's aggregates
+                all_arms = sorted({k.split("_", 1)[1].rsplit("_s", 1)[0] for k in summary})
+                all_seeds = sorted({int(k.rsplit("_s", 1)[1]) for k in summary})
                 out = {
                     "runs": summary,
-                    "aggregate": aggregate(summary, args.arms, args.seeds),
+                    "aggregate": aggregate(summary, all_arms, all_seeds),
                     "config": {"epochs": args.epochs, "seeds": args.seeds,
                                "nclasses": NCLASSES, "image": IMAGE},
                 }
