@@ -40,7 +40,7 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 sys.path.insert(0, HERE)
 from driver_common import sh  # noqa: E402
-from run_parity import jax_cpu_env  # noqa: E402
+from run_parity import jax_env  # noqa: E402
 
 METRICS = ("test_acc", "test_acc_modal_0", "test_acc_modal_1")
 
@@ -63,14 +63,14 @@ def read_metrics(out_dir):
     return {m: float(row[m]) for m in METRICS}
 
 
-def eval_ckpt(evaluator, out, data, ckpt, log):
+def eval_ckpt(evaluator, out, data, ckpt, log, jax_device="cpu"):
     """Run one implementation's test eval of a checkpoint; returns metrics."""
     if not os.path.exists(os.path.join(out, "eval_history_batch", "history.csv")):
         bindings = eval_bindings(data, ckpt)
         if evaluator == "jax":
             rc = sh(
                 [sys.executable, "eval.py", out, "configs/recording.gin", bindings],
-                log, jax_cpu_env(),
+                log, jax_env(jax_device),
             )
         else:
             rc = sh(
@@ -87,6 +87,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
     ap.add_argument("--runs", nargs="*", default=None)
+    ap.add_argument("--jax-device", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
     workdir = os.path.abspath(args.workdir)
     data = os.path.join(workdir, "data")
@@ -112,7 +113,8 @@ def main():
         os.makedirs(os.path.dirname(base), exist_ok=True)
         try:
             by = {
-                ev: eval_ckpt(ev, f"{base}_by_{ev}", data, ckpt, f"{base}_by_{ev}.log")
+                ev: eval_ckpt(ev, f"{base}_by_{ev}", data, ckpt,
+                              f"{base}_by_{ev}.log", args.jax_device)
                 for ev in ("ref", "jax")
             }
         except RuntimeError as e:

@@ -36,12 +36,18 @@ NCLASSES = 10
 IMAGE = 64
 
 
-def jax_cpu_env():
-    env = {"JAX_PLATFORMS": "cpu"}
-    # sitecustomize force-registers the remote TPU backend off this var;
-    # the rebuild's parity runs must be pure-CPU like the reference's
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    return env
+def jax_env(device="cpu"):
+    """Environment for the rebuild's runs.
+
+    cpu: pure-CPU, the reference's exact hardware class (JAX_PLATFORMS=cpu;
+    PALLAS_AXON_POOL_IPS= stops sitecustomize force-registering the remote
+    TPU backend).  tpu: the rebuild's native target — inherit the ambient
+    env so the axon TPU registers; compute dtype stays the configs' f32
+    default either way, so the arms differ only in backend lowering.
+    """
+    if device == "tpu":
+        return {}
+    return {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
 
 
 def common_bindings(data, seed, epochs):
@@ -113,7 +119,7 @@ def summarize_run(run_dir):
     return out
 
 
-def run_one(impl, arm, seed, workdir, data, epochs):
+def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu"):
     """Train + recording + flow-off for one (implementation, arm, seed)."""
     name = f"{impl}_{arm}_s{seed}"
     run = os.path.join(workdir, name)
@@ -130,7 +136,7 @@ def run_one(impl, arm, seed, workdir, data, epochs):
             eval_bindings(data, run, "off"),
         ]
     else:
-        env = jax_cpu_env()
+        env = jax_env(jax_device)
         train_cmd = [
             sys.executable, "train.py", run, config,
             common_bindings(data, seed, epochs) + f"#train.seed={seed}",
@@ -191,6 +197,14 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[777, 778, 779, 780])
     ap.add_argument("--arms", nargs="+", default=["guided", "random"], choices=["guided", "random"])
     ap.add_argument("--impls", nargs="+", default=["ref", "jax"], choices=["ref", "jax"])
+    ap.add_argument(
+        "--jax-device",
+        default="cpu",
+        choices=["cpu", "tpu"],
+        help="backend for the rebuild's runs: cpu (reference's hardware "
+        "class, like-for-like) or tpu (the rebuild's native target; "
+        "single-tenant tunnel — don't share the chip with another job)",
+    )
     args = ap.parse_args()
 
     workdir = os.path.abspath(args.workdir)
@@ -213,7 +227,9 @@ def main():
                 name = f"{impl}_{arm}_s{seed}"
                 if name in summary and "error" not in summary[name]:
                     continue
-                summary[name] = run_one(impl, arm, seed, workdir, data, args.epochs)
+                summary[name] = run_one(
+                    impl, arm, seed, workdir, data, args.epochs, args.jax_device
+                )
                 # aggregate over every (arm, seed) present in the merged
                 # runs, not just this invocation's — sequential invocations
                 # (e.g. per-arm) must not clobber each other's aggregates
