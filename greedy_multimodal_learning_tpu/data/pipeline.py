@@ -214,9 +214,17 @@ class DeviceCachePipeline(BatchPipeline):
     The corpus upload is budget-checked against the device's free memory at
     first iteration; if it does not fit (or the upload fails), the pipeline
     logs a warning and PERMANENTLY falls back to the inherited streaming
-    iterator.  Multi-host runs must keep streaming (each process feeds
-    process-local rows of a global batch): ``wrap_device_cache`` refuses to
-    wrap when ``jax.process_count() > 1``.
+    iterator.
+
+    Multi-host: the cache shards naturally.  Each process's pipeline already
+    holds only its process-local index slice (parallel/multihost.py
+    ``process_local_indices``), so each process uploads exactly its rows of
+    the global corpus to its FIRST LOCAL device and gathers its local batch
+    there; the Trainer's multi-host put (``global_batch_from_local``) then
+    assembles the globally-sharded batch from the per-process device-resident
+    shards — image bytes cross the host link once per run (the upload), never
+    per step.  Byte-for-byte equality with the streamed multi-host path is
+    pinned by tests/test_pipeline_cache.py's 2-process test.
     """
 
     #: fraction of the device's free memory the corpus may occupy
@@ -280,7 +288,9 @@ class DeviceCachePipeline(BatchPipeline):
 
         logger = logging.getLogger(__name__)
         try:
-            device = jax.devices()[0]
+            # first *local* device: under multi-host, jax.devices()[0] can be
+            # another process's chip — uploads must target an addressable one
+            device = jax.local_devices()[0]
             if not self._budget_ok(device):
                 self._streaming = True
                 return False
@@ -384,17 +394,12 @@ def warn_if_cached_multidevice(pipelines, mesh) -> None:
 def wrap_device_cache(pipeline: BatchPipeline, enabled="auto") -> BatchPipeline:
     """Upgrade a streaming pipeline to :class:`DeviceCachePipeline`.
 
-    ``enabled``: True / False / "auto".  "auto" turns the cache on for
-    single-process runs (multi-host feeds process-local slices of global
-    batches — see parallel/multihost.py — which a single-device corpus
-    gather cannot express)."""
+    ``enabled``: True / False / "auto" (on unless the memory budget check
+    falls back).  Multi-host runs shard the cache per process — each process
+    caches exactly its local index slice on its first local device (see the
+    class docstring)."""
     if enabled is False:
         return pipeline
-    if enabled == "auto":
-        import jax
-
-        if jax.process_count() > 1:
-            return pipeline
     cached = DeviceCachePipeline(
         pipeline.dataset,
         pipeline.indices,
