@@ -77,6 +77,7 @@ class Trainer:
         jit: bool = True,
         mesh=None,
         model_parallel_min_dim: int = 256,
+        fold_bn_eval: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -106,6 +107,17 @@ class Trainer:
         self._unlock = False
         self.average_squeezemaps = average_squeezemaps
         self.mmtm_off = mmtm_off
+        # BN-folded inference: eval passes run with running stats
+        # (use_running_average — reference: src/framework.py:232-237), where
+        # the BN affine folds exactly into the preceding conv kernel
+        # (engine/fold_bn.py), removing the eval forward's BN map sweeps
+        # (~31% of step HBM traffic per the PERF.md roofline).  Folded
+        # (params, batch_stats) are computed once per eval pass in ONE
+        # jitted dispatch and swapped in for the pass only; training always
+        # sees the unfolded state.
+        self.fold_bn_eval = fold_bn_eval
+        self._fold_cache = None  # (params_ref, stats_ref, folded_p, folded_s)
+        self._fold_fn = None
 
         branchnames = self.controller_config.get(
             "branchnames", [f"net_view_{i}" for i in range(nummodalities)]
@@ -265,7 +277,56 @@ class Trainer:
             self.stop_training = True
         return train_dict
 
+    def _folded_params_stats(self):
+        """Folded (params, batch_stats) for the CURRENT state, cached by
+        object identity (the cache holds a reference to the keyed trees, so
+        an id() can never be recycled into a false hit).  One jitted
+        dispatch per fold; None on failure (folding then stays off)."""
+        params, stats = self.state.params, self.state.batch_stats
+        if (
+            self._fold_cache is not None
+            and self._fold_cache[0] is params
+            and self._fold_cache[1] is stats
+        ):
+            return self._fold_cache[2], self._fold_cache[3]
+        from .fold_bn import fold_batchnorm
+
+        if self._fold_fn is None:
+            # jitted: the per-BN-scope arithmetic is ~240 tiny ops — one
+            # dispatch instead of one per op (remote-link RPC cost, PERF.md)
+            self._fold_fn = jax.jit(fold_batchnorm)
+        try:
+            folded_p, folded_s = self._fold_fn(params, stats)
+        except Exception:
+            logging.getLogger(__name__).warning(
+                "BN eval fold failed; evaluating unfolded", exc_info=True
+            )
+            self.fold_bn_eval = False
+            return None, None
+        self._fold_cache = (params, stats, folded_p, folded_s)
+        return folded_p, folded_s
+
     def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
+        if generator is None or not self.fold_bn_eval:
+            return self._eval_generator_inner(
+                generator, phase, steps=steps, callback_list=callback_list
+            )
+        folded_p, folded_s = self._folded_params_stats()
+        if folded_p is None:
+            return self._eval_generator_inner(
+                generator, phase, steps=steps, callback_list=callback_list
+            )
+        original = (self.state.params, self.state.batch_stats)
+        self.state = self.state.replace(params=folded_p, batch_stats=folded_s)
+        try:
+            return self._eval_generator_inner(
+                generator, phase, steps=steps, callback_list=callback_list
+            )
+        finally:
+            # eval mutates only .mmtm/.controller; params/stats restore exact
+            self.state = self.state.replace(params=original[0], batch_stats=original[1])
+
+    def _eval_generator_inner(self, generator, phase, *, steps=None, callback_list=None):
         if generator is None:  # train-only runs: no val/test pass, no keys
             return {}
         if self.controller_kind == "weakest":

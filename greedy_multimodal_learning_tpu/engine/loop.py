@@ -103,6 +103,7 @@ def training_loop(
     orbax_dir=None,
     orbax_max_to_keep=2,
     checkpoint_every=1,
+    fold_bn_eval=False,
 ):
     callbacks = list(custom_callbacks)
     os.makedirs(save_path, exist_ok=True)
@@ -191,6 +192,7 @@ def training_loop(
         nummodalities=nummodalities,
         verbose=verbose,
         mesh=mesh,
+        fold_bn_eval=fold_bn_eval,
     )
 
     for clbk in callbacks:
@@ -314,6 +316,7 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     mmtm_off=False,
     data_parallel=False,
     model_parallel=1,
+    fold_bn_eval=False,
 ):
     # GSPMD scale-out for eval (mirrors training_loop's data_parallel).
     mesh = None
@@ -337,6 +340,7 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
         average_squeezemaps=average_squeezemaps,
         mmtm_off=mmtm_off,
         mesh=mesh,
+        fold_bn_eval=fold_bn_eval,
     )
     trainer.load_weights(pretrained_weights_path)
 

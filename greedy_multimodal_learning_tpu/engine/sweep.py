@@ -55,13 +55,31 @@ def build_sweep_eval_step(model):
     return jax.jit(step)
 
 
-def eval_sweep(model, variable_trees: Sequence[dict], generator, steps=None) -> List[dict]:
+def eval_sweep(model, variable_trees: Sequence[dict], generator, steps=None,
+               fold_bn: bool = False) -> List[dict]:
     """Evaluate K checkpoints over one pass of ``generator``.
 
     ``variable_trees``: list of {'params', 'batch_stats', 'mmtm'} dicts.
     Returns a list of K dicts with size-weighted loss/acc/acc_modal_i.
+
+    ``fold_bn``: sweep forwards always run with running BN stats, so each
+    checkpoint's BN affine folds exactly into its conv kernels
+    (engine/fold_bn.py) before stacking.  Measured in-context neutral on
+    the v5e chip (eval fwd 17.31 vs 17.08 ms at B=256, tools/mfu_probe.py —
+    XLA already fuses the eval BN affine into the conv epilogue), so it
+    defaults off like the Pallas gating kernel; equivalence pinned by
+    tests/test_fold_bn.py for backends where the tradeoff flips.
     """
     K = len(variable_trees)
+    if fold_bn:
+        from .fold_bn import fold_batchnorm
+
+        folded = []
+        for tree in variable_trees:
+            t = dict(tree)
+            t["params"], t["batch_stats"] = fold_batchnorm(t["params"], t["batch_stats"])
+            folded.append(t)
+        variable_trees = folded
     stacked = stack_variable_trees(list(variable_trees))
     step = build_sweep_eval_step(model)
     if steps is None:
