@@ -308,9 +308,12 @@ def main():
     tpu_sps = measure_tpu()
     try:
         cached_sps = measure_tpu_e2e_cached(TPU_BATCH)
+        # the reference's operative batch (configs/training.gin:6) on the
+        # production-default cached path: the honest same-batch headline
+        b8_cached_sps = measure_tpu_e2e_cached(TORCH_BATCH, steps=64, warmup=8)
     except Exception as e:
         log(f"cached e2e measurement failed: {e}")
-        cached_sps = None
+        cached_sps = b8_cached_sps = None
     try:
         e2e_sps = measure_tpu_e2e(TPU_BATCH)
         b8_sps = measure_tpu_e2e(TORCH_BATCH)
@@ -330,6 +333,12 @@ def main():
         # production default data path: HBM-resident corpus, on-device
         # batch gather (DeviceCachePipeline) — steady-state e2e
         "e2e_cached_samples_per_sec": round(cached_sps, 2) if cached_sps else None,
+        # cached path at the reference's operative batch size (B=8): the
+        # ≥20x north-star clause measured on the configuration as shipped
+        "b8_e2e_cached_samples_per_sec": round(b8_cached_sps, 2) if b8_cached_sps else None,
+        "vs_baseline_same_batch_b8_cached": (
+            round(b8_cached_sps / base_sps, 2) if (b8_cached_sps and base_sps) else None
+        ),
         # streaming e2e (host pipeline + in-band H2D over the dev tunnel)
         # and the same-batch (B=8) comparison against torch-CPU B=8
         "e2e_samples_per_sec": round(e2e_sps, 2) if e2e_sps else None,

@@ -67,7 +67,34 @@ def get_rescale_weights(
 ):
     """Per-MMTM per-view dataset-average squeeze maps
     (reference: src/balanced_mmtm.py:179-206).  Position indices below
-    ``starting_mmtmindice`` have no MMTM module and map to None."""
+    ``starting_mmtmindice`` have no MMTM module and map to None.
+
+    Fast path: a recording pass run with ``evalution_loop.ondevice_rescale``
+    reduces the maps on device and writes ``rescale_means.pkl`` next to the
+    history pickle (analysis/ondevice_rescale.py); when that file matches
+    this call's (key, validation) selection, the means are returned directly
+    — no per-sample payload was ever fetched or stored.  Equivalence with
+    the pickle pipeline is pinned by tests/test_ondevice_rescale.py."""
+    from .ondevice_rescale import RESCALE_MEANS_FILENAME
+
+    fast = os.path.join(eval_save_path, RESCALE_MEANS_FILENAME)
+    if os.path.exists(fast):
+        with open(fast, "rb") as f:
+            blob = pickle.load(f)
+        if blob.get("key") == key and bool(blob.get("validation")) == bool(validation):
+            modules = blob["means"]  # {module_index: {view_index: (C,)}}
+            weights = []
+            for position in range(mmtmpositions):
+                if position < starting_mmtmindice:
+                    weights.append(None)
+                    continue
+                per_view = modules[position - starting_mmtmindice]
+                weights.append(
+                    [np.asarray(per_view[v], np.float32) for v in sorted(per_view)]
+                )
+            return weights
+        # selection mismatch: fall through to the per-sample pickle pipeline
+
     modules = get_mmtm_outputs(eval_save_path, mmtmpositions - starting_mmtmindice, key)
 
     training_history = _load_history(training_save_path)

@@ -118,6 +118,10 @@ class Trainer:
         self.fold_bn_eval = fold_bn_eval
         self._fold_cache = None  # (params_ref, stats_ref, folded_p, folded_s)
         self._fold_fn = None
+        # Optional on-device rescale-weight reduction (analysis/
+        # ondevice_rescale.py): when set, recording payloads are reduced to
+        # per-(module, view) means on device and NEVER fetched per sample.
+        self.rescale_accumulator = None
 
         branchnames = self.controller_config.get(
             "branchnames", [f"net_view_{i}" for i in range(nummodalities)]
@@ -306,6 +310,22 @@ class Trainer:
         self._fold_cache = (params, stats, folded_p, folded_s)
         return folded_p, folded_s
 
+    def _consume_records(self, out, indices_list, sizes, batch_rows):
+        """On-device rescale reduction: fold this dispatch's packed recording
+        buffer into the accumulator and DROP it from the outputs, so the
+        per-sample payload is never fetched (analysis/ondevice_rescale.py).
+        No-op unless an accumulator is installed."""
+        acc = self.rescale_accumulator
+        if acc is None or not isinstance(out, dict) or "packed_records" not in out:
+            return
+        member = np.stack(
+            [
+                acc.member_mask(idx, int(sz), batch_rows)
+                for idx, sz in zip(indices_list, sizes)
+            ]
+        )
+        acc.consume(out.pop("packed_records"), member)
+
     def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
         if generator is None or not self.fold_bn_eval:
             return self._eval_generator_inner(
@@ -389,6 +409,12 @@ class Trainer:
                 }
                 new_mmtm, outs = self._eval_scan_step(self.state, stacked, avg_maps)
                 self.state = self.state.replace(mmtm=new_mmtm)
+                self._consume_records(
+                    outs,
+                    [p["indices"] for p in pending],
+                    [p["size"] for p in pending],
+                    pending[0]["batch"]["mask"].shape[0],
+                )
                 records.append(
                     {
                         "out": outs,
@@ -403,6 +429,9 @@ class Trainer:
                 for p in pending:
                     new_mmtm, out = self._eval_step(self.state, p["batch"], avg_maps)
                     self.state = self.state.replace(mmtm=new_mmtm)
+                    self._consume_records(
+                        out, [p["indices"]], [p["size"]], p["batch"]["mask"].shape[0]
+                    )
                     records.append(
                         {"out": out, "scan": 0, "size": [p["size"]], "indices": [p["indices"]]}
                     )
@@ -431,6 +460,9 @@ class Trainer:
             else:
                 new_mmtm, out = self._eval_step(self.state, batch, avg_maps)
                 self.state = self.state.replace(mmtm=new_mmtm)
+                self._consume_records(
+                    out, [entry["indices"]], [size], batch["mask"].shape[0]
+                )
                 records.append(
                     {"out": out, "scan": 0, "size": [size], "indices": [entry["indices"]]}
                 )

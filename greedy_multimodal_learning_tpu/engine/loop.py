@@ -317,6 +317,9 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     data_parallel=False,
     model_parallel=1,
     fold_bn_eval=False,
+    ondevice_rescale=False,
+    ondevice_rescale_training_path=None,
+    ondevice_rescale_validation=False,
 ):
     # GSPMD scale-out for eval (mirrors training_loop's data_parallel).
     mesh = None
@@ -344,6 +347,31 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     )
     trainer.load_weights(pretrained_weights_path)
 
+    if ondevice_rescale:
+        # Recording-pass fast path (optional; the history.pickle interchange
+        # stays the default): reduce the squeeze maps to per-(module, view)
+        # means over the training run's train (or val) indices ON DEVICE —
+        # KBs cross the link instead of the multi-MB per-sample payload.
+        # The training run's history.pickle conventionally lives in this
+        # same save_path (the recording pass runs inside the training dir).
+        import pickle as _pickle
+
+        import numpy as _np
+
+        from ..analysis.ondevice_rescale import RescaleMeanAccumulator
+
+        tpath = ondevice_rescale_training_path or save_path
+        with open(os.path.join(tpath, "history.pickle"), "rb") as f:
+            training_history = _pickle.load(f)
+        selected = _np.asarray(
+            training_history["val_indices"][0]
+            if ondevice_rescale_validation
+            else training_history["train_indices"][0]
+        )
+        trainer.rescale_accumulator = RescaleMeanAccumulator(
+            selected, trainer._eval_step.record_pack_spec
+        )
+
     os.makedirs(save_path, exist_ok=True)
     history_csv_path = os.path.join(save_path, "eval_history.csv")
     history_pkl_path = os.path.join(save_path, "eval_history.pkl")
@@ -361,4 +389,29 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
         clbk.set_model_pytoune(trainer)
 
     trainer.eval_loop(test, epochs=0, test_steps=test_steps, callbacks=callbacks)
+
+    if ondevice_rescale and trainer.rescale_accumulator is not None:
+        import pickle as _pickle
+
+        from ..analysis.ondevice_rescale import RESCALE_MEANS_FILENAME
+
+        means, count = trainer.rescale_accumulator.means()
+        outdir = os.path.join(save_path, "eval_history_batch")
+        os.makedirs(outdir, exist_ok=True)
+        out_path = os.path.join(outdir, RESCALE_MEANS_FILENAME)
+        with open(out_path, "wb") as f:
+            _pickle.dump(
+                {
+                    "key": "test_squeezedmaps_array_list",
+                    "validation": bool(ondevice_rescale_validation),
+                    "means": means,
+                    "count": count,
+                    "selected_n": int(len(selected)),
+                },
+                f,
+            )
+        logger.info(
+            "on-device rescale means written to %s (%d member samples)",
+            out_path, count,
+        )
     return trainer
