@@ -28,9 +28,14 @@ import sys
 import numpy as np
 import torch
 
+# Full ModelNet40 class list (reference: src/model.py:30-34) so the
+# northstar-scale parity dataset (--classes 40) uses the real label space.
 CLASSNAMES = [
-    "airplane", "bathtub", "bed", "bench", "bookshelf", "bottle", "bowl",
-    "car", "chair", "cone", "cup", "curtain", "desk", "door", "dresser",
+    "airplane", "bathtub", "bed", "bench", "bookshelf", "bottle", "bowl", "car", "chair",
+    "cone", "cup", "curtain", "desk", "door", "dresser", "flower_pot", "glass_box",
+    "guitar", "keyboard", "lamp", "laptop", "mantel", "monitor", "night_stand",
+    "person", "piano", "plant", "radio", "range_hood", "sink", "sofa", "stairs",
+    "stool", "table", "tent", "toilet", "tv_stand", "vase", "wardrobe", "xbox",
 ]
 
 

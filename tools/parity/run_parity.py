@@ -32,7 +32,7 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 from driver_common import sh
 
-NCLASSES = 10
+NCLASSES = 10  # default; --nclasses overrides (northstar scale: 40)
 IMAGE = 64
 
 
@@ -50,25 +50,25 @@ def jax_env(device="cpu"):
     return {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
 
 
-def common_bindings(data, seed, epochs):
+def common_bindings(data, seed, epochs, nclasses=NCLASSES):
     return (
         f"get_mvdcndata.root_dir='{data}'"
         f"#get_mvdcndata.specific_views=[0, 1]"
         f"#get_mvdcndata.num_workers=0"
         f"#get_mvdcndata.seed={seed}"
-        f"#MMTM_MVCNN.nclasses={NCLASSES}"
+        f"#MMTM_MVCNN.nclasses={nclasses}"
         f"#training_loop.n_epochs={epochs}"
     )
 
 
-def eval_bindings(data, run, which):
+def eval_bindings(data, run, which, nclasses=NCLASSES):
     ckpt = os.path.join(run, "model_best_val.pt")
     b = (
         f"eval_.pretrained_weights_path='{ckpt}'"
         f"#get_mvdcndata.root_dir='{data}'"
         f"#get_mvdcndata.specific_views=[0, 1]"
         f"#get_mvdcndata.num_workers=0"
-        f"#MMTM_MVCNN.nclasses={NCLASSES}"
+        f"#MMTM_MVCNN.nclasses={nclasses}"
     )
     if which == "off":
         b += (
@@ -119,7 +119,7 @@ def summarize_run(run_dir):
     return out
 
 
-def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu"):
+def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu", nclasses=NCLASSES):
     """Train + recording + flow-off for one (implementation, arm, seed)."""
     name = f"{impl}_{arm}_s{seed}"
     run = os.path.join(workdir, name)
@@ -129,22 +129,22 @@ def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu"):
     if impl == "ref":
         runner = [sys.executable, os.path.join(HERE, "run_reference.py")]
         env = {"PARITY_TORCH_SEED": str(seed)}
-        train_cmd = runner + ["train", run, config, common_bindings(data, seed, epochs)]
-        rec_cmd = runner + ["eval", run, "configs/recording.gin", eval_bindings(data, run, "rec")]
+        train_cmd = runner + ["train", run, config, common_bindings(data, seed, epochs, nclasses)]
+        rec_cmd = runner + ["eval", run, "configs/recording.gin", eval_bindings(data, run, "rec", nclasses)]
         off_cmd = runner + [
             "eval", os.path.join(run, "mmtm_off_eval"), "configs/eval.gin",
-            eval_bindings(data, run, "off"),
+            eval_bindings(data, run, "off", nclasses),
         ]
     else:
         env = jax_env(jax_device)
         train_cmd = [
             sys.executable, "train.py", run, config,
-            common_bindings(data, seed, epochs) + f"#train.seed={seed}",
+            common_bindings(data, seed, epochs, nclasses) + f"#train.seed={seed}",
         ]
-        rec_cmd = [sys.executable, "eval.py", run, "configs/recording.gin", eval_bindings(data, run, "rec")]
+        rec_cmd = [sys.executable, "eval.py", run, "configs/recording.gin", eval_bindings(data, run, "rec", nclasses)]
         off_cmd = [
             sys.executable, "eval.py", os.path.join(run, "mmtm_off_eval"), "configs/eval.gin",
-            eval_bindings(data, run, "off"),
+            eval_bindings(data, run, "off", nclasses),
         ]
 
     if not train_complete(run, epochs):
@@ -197,6 +197,9 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[777, 778, 779, 780])
     ap.add_argument("--arms", nargs="+", default=["guided", "random"], choices=["guided", "random"])
     ap.add_argument("--impls", nargs="+", default=["ref", "jax"], choices=["ref", "jax"])
+    ap.add_argument("--nclasses", type=int, default=NCLASSES,
+                    help="label-space size; must match the workdir's dataset "
+                    "(northstar scale: 40)")
     ap.add_argument(
         "--jax-device",
         default="cpu",
@@ -228,7 +231,8 @@ def main():
                 if name in summary and "error" not in summary[name]:
                     continue
                 summary[name] = run_one(
-                    impl, arm, seed, workdir, data, args.epochs, args.jax_device
+                    impl, arm, seed, workdir, data, args.epochs, args.jax_device,
+                    args.nclasses,
                 )
                 # aggregate over every (arm, seed) present in the merged
                 # runs, not just this invocation's — sequential invocations
@@ -239,7 +243,7 @@ def main():
                     "runs": summary,
                     "aggregate": aggregate(summary, all_arms, all_seeds),
                     "config": {"epochs": args.epochs, "seeds": args.seeds,
-                               "nclasses": NCLASSES, "image": IMAGE},
+                               "nclasses": args.nclasses, "image": IMAGE},
                 }
                 with open(summary_path, "w") as f:
                     json.dump(out, f, indent=2)
