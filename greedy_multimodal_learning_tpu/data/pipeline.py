@@ -238,6 +238,10 @@ class DeviceCachePipeline(BatchPipeline):
         self._row_of = None  # dataset index -> corpus row LUT
         self._streaming = False  # budget fallback latch
         self._gather = None
+        # Optional mesh adoption (adopt_mesh_for_cache): the corpus is
+        # replicated over the mesh and the gather emits batches already
+        # sharded P('data') — no device-0 pinning, no per-step reshard hop.
+        self.mesh = None
 
     # -- corpus construction ------------------------------------------------
 
@@ -309,6 +313,34 @@ class DeviceCachePipeline(BatchPipeline):
             lut = np.zeros(int(self.indices.max()) + 1, np.int32)
             lut[self.indices] = np.arange(len(items), dtype=np.int32)
             self._row_of = lut
+            if self.mesh is not None and self.mesh.size > 1:
+                # Mesh mode (single-process multi-device, BASELINE config 5):
+                # replicate the corpus over the mesh — per-device HBM cost is
+                # identical to the pinned single-device upload, which the
+                # budget check above already cleared — and have the jitted
+                # gather emit batches SHARDED over the data axis.  Each
+                # device then slices only its own batch rows locally: the
+                # input path is collective-free (a row-sharded corpus would
+                # instead force GSPMD to all-gather it at every step, since
+                # the gather indexes into the sharded axis).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                replicated = NamedSharding(self.mesh, P())
+                batch_sharded = NamedSharding(self.mesh, P("data"))
+                dimg = jax.device_put(imgs, replicated)
+                dlab = jax.device_put(labels, replicated)
+                dimg.block_until_ready()
+                self._corpus = (dimg, dlab)
+                self._gather = jax.jit(
+                    lambda img, lab, rows, mask: (img[rows], lab[rows], mask),
+                    out_shardings=(batch_sharded, batch_sharded, batch_sharded),
+                )
+                logger.info(
+                    "device cache: %d samples (%.1f MB uint8) replicated over "
+                    "the %d-device mesh; batches gathered pre-sharded P('data')",
+                    len(items), imgs.nbytes / 1e6, self.mesh.size,
+                )
+                return True
             dimg = jax.device_put(imgs, device)
             dlab = jax.device_put(labels, device)
             dimg.block_until_ready()
@@ -367,28 +399,39 @@ class DeviceCachePipeline(BatchPipeline):
             }
 
 
-def warn_if_cached_multidevice(pipelines, mesh) -> None:
-    """Flag the device-0 pinning trade-off under a multi-device mesh.
+def adopt_mesh_for_cache(pipelines, mesh) -> None:
+    """Upgrade not-yet-uploaded :class:`DeviceCachePipeline`\\ s to the
+    mesh-aware cache: corpus replicated over the mesh, batches gathered
+    pre-sharded P('data') — removing the device-0 pinning and the per-step
+    device-to-device reshard hop the pinned cache would otherwise pay.
 
-    A :class:`DeviceCachePipeline` keeps its corpus and batch gather on
-    ``jax.devices()[0]`` (budget-checked there only); under a >1-device mesh
-    every batch is then re-sharded device-to-device.  That rides ICI (fast)
-    rather than host links, but consumes device-0 HBM asymmetrically —
-    whether it beats direct host->mesh streaming is workload- and
-    link-dependent, so warn instead of silently choosing."""
+    Loaders are built before the loop knows its mesh (entries.py builds
+    data first, training_loop builds the mesh), so the loop calls this once
+    the mesh exists; the corpus uploads lazily at first iteration, after
+    adoption.  Multi-host runs keep the per-process shard path (each
+    process's batch leaves are assembled into global arrays by
+    ``global_batch_from_local``); already-uploaded pipelines keep their
+    pinned corpus and are flagged."""
     import logging
 
     if mesh is None or mesh.size <= 1:
         return
-    cached = [type(p).__name__ for p in pipelines if isinstance(p, DeviceCachePipeline)]
-    if cached:
-        logging.getLogger(__name__).warning(
-            "device cache + %d-device mesh: the corpus and batch gather are "
-            "pinned to device 0 and every batch is re-sharded device-to-device; "
-            "bind device_cache=False to stream host batches straight to the "
-            "mesh if device-0 memory or the extra hop matters",
-            mesh.size,
-        )
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    for pipe in pipelines:
+        if not isinstance(pipe, DeviceCachePipeline):
+            continue
+        if pipe._corpus is not None:
+            logging.getLogger(__name__).warning(
+                "device cache already uploaded to a single device before the "
+                "%d-device mesh existed; batches will be re-sharded per step "
+                "— build the mesh before first iteration to avoid this",
+                mesh.size,
+            )
+            continue
+        pipe.mesh = mesh
 
 
 def wrap_device_cache(pipeline: BatchPipeline, enabled="auto") -> BatchPipeline:

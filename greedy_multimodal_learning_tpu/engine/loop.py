@@ -178,9 +178,9 @@ def training_loop(
 
         mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
         logger.info("Data-parallel mesh: %s", dict(mesh.shape))
-        from ..data.pipeline import warn_if_cached_multidevice
+        from ..data.pipeline import adopt_mesh_for_cache
 
-        warn_if_cached_multidevice([p for p in (train, valid, test) if p is not None], mesh)
+        adopt_mesh_for_cache([p for p in (train, valid, test) if p is not None], mesh)
 
     trainer = Trainer(
         model=model,
@@ -330,9 +330,9 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
 
         mesh = make_mesh(jax.devices(), model_parallel=int(model_parallel))
         logger.info("Eval data-parallel mesh: %s", dict(mesh.shape))
-        from ..data.pipeline import warn_if_cached_multidevice
+        from ..data.pipeline import adopt_mesh_for_cache
 
-        warn_if_cached_multidevice([test] if test is not None else [], mesh)
+        adopt_mesh_for_cache([test] if test is not None else [], mesh)
 
     trainer = Trainer(
         model=model,

@@ -225,22 +225,58 @@ def test_fallback_budget_refusal_logs(modelnet_root, caplog, monkeypatch):
     assert any("fallback budget" in r.message for r in caplog.records)
 
 
-def test_cached_multidevice_warns(modelnet_root, caplog):
-    """Under a >1-device mesh the device-0 pinning must be flagged."""
+def test_cache_adopts_mesh_and_emits_sharded_batches(modelnet_root):
+    """adopt_mesh_for_cache upgrades a not-yet-uploaded cache: the corpus
+    replicates over the mesh and every batch comes out ALREADY sharded
+    P('data') — byte-identical to the streamed batches, no device-0 pin."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from greedy_multimodal_learning_tpu.data.pipeline import adopt_mesh_for_cache
+    from greedy_multimodal_learning_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    assert mesh.size == 8  # conftest forces the 8-virtual-device harness
+    streamed, cached = _pipelines(modelnet_root, batch_size=8, shuffle=True)
+    adopt_mesh_for_cache([cached, streamed], mesh)  # non-cache entries ignored
+    assert cached.mesh is mesh
+
+    sb = [_materialize(b) for b in streamed]
+    cb = list(cached)
+    assert cached._corpus is not None
+    # corpus replicated, batches sharded over the data axis
+    assert cached._corpus[0].sharding.is_equivalent_to(
+        NamedSharding(mesh, P()), cached._corpus[0].ndim
+    )
+    for c in cb:
+        assert c["images"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data")), c["images"].ndim
+        )
+        assert len(c["images"].sharding.device_set) == 8
+    for s, c in zip(sb, [_materialize(b) for b in cb]):
+        assert s["size"] == c["size"]
+        np.testing.assert_array_equal(s["images"], c["images"])
+        np.testing.assert_array_equal(s["labels"], c["labels"])
+        np.testing.assert_array_equal(s["mask"], c["mask"])
+
+
+def test_adopt_mesh_skips_uploaded_cache(modelnet_root, caplog):
+    """A cache whose corpus already uploaded keeps its pinned layout (and
+    says so) — adoption only applies before first iteration."""
     import logging
 
-    from greedy_multimodal_learning_tpu.data.pipeline import warn_if_cached_multidevice
+    from greedy_multimodal_learning_tpu.data.pipeline import adopt_mesh_for_cache
     from greedy_multimodal_learning_tpu.parallel import make_mesh
 
     _, cached = _pipelines(modelnet_root)
-    mesh = make_mesh(jax.devices())
-    assert mesh.size > 1  # conftest forces the 8-virtual-device harness
+    assert cached._ensure_corpus()
     with caplog.at_level(logging.WARNING):
-        warn_if_cached_multidevice([cached], mesh)
-    assert any("pinned to device 0" in r.message for r in caplog.records)
+        adopt_mesh_for_cache([cached], make_mesh(jax.devices()))
+    assert cached.mesh is None
+    assert any("already uploaded" in r.message for r in caplog.records)
+    # no mesh / 1-device mesh: silent no-op
     caplog.clear()
     with caplog.at_level(logging.WARNING):
-        warn_if_cached_multidevice([cached], None)  # no mesh: silent
+        adopt_mesh_for_cache([cached], None)
     assert not caplog.records
 
 
