@@ -45,14 +45,14 @@ from run_parity import jax_env  # noqa: E402
 METRICS = ("test_acc", "test_acc_modal_0", "test_acc_modal_1")
 
 
-def eval_bindings(data, ckpt):
+def eval_bindings(data, ckpt, nclasses=10):
     return (
         f"eval_.pretrained_weights_path='{ckpt}'"
         "#eval_.target_data_split='test'"
         f"#get_mvdcndata.root_dir='{data}'"
         "#get_mvdcndata.specific_views=[0, 1]"
         "#get_mvdcndata.num_workers=0"
-        "#MMTM_MVCNN.nclasses=10"
+        f"#MMTM_MVCNN.nclasses={nclasses}"
     )
 
 
@@ -63,10 +63,10 @@ def read_metrics(out_dir):
     return {m: float(row[m]) for m in METRICS}
 
 
-def eval_ckpt(evaluator, out, data, ckpt, log, jax_device="cpu"):
+def eval_ckpt(evaluator, out, data, ckpt, log, jax_device="cpu", nclasses=10):
     """Run one implementation's test eval of a checkpoint; returns metrics."""
     if not os.path.exists(os.path.join(out, "eval_history_batch", "history.csv")):
-        bindings = eval_bindings(data, ckpt)
+        bindings = eval_bindings(data, ckpt, nclasses)
         if evaluator == "jax":
             rc = sh(
                 [sys.executable, "eval.py", out, "configs/recording.gin", bindings],
@@ -88,6 +88,8 @@ def main():
     ap.add_argument("workdir")
     ap.add_argument("--runs", nargs="*", default=None)
     ap.add_argument("--jax-device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--nclasses", type=int, default=10,
+                    help="label-space size of the workdir's dataset")
     args = ap.parse_args()
     workdir = os.path.abspath(args.workdir)
     data = os.path.join(workdir, "data")
@@ -114,7 +116,8 @@ def main():
         try:
             by = {
                 ev: eval_ckpt(ev, f"{base}_by_{ev}", data, ckpt,
-                              f"{base}_by_{ev}.log", args.jax_device)
+                              f"{base}_by_{ev}.log", args.jax_device,
+                              args.nclasses)
                 for ev in ("ref", "jax")
             }
         except RuntimeError as e:
