@@ -308,12 +308,16 @@ def main():
     tpu_sps = measure_tpu()
     try:
         cached_sps = measure_tpu_e2e_cached(TPU_BATCH)
+    except Exception as e:
+        log(f"cached e2e measurement failed: {e}")
+        cached_sps = None
+    try:
         # the reference's operative batch (configs/training.gin:6) on the
         # production-default cached path: the honest same-batch headline
         b8_cached_sps = measure_tpu_e2e_cached(TORCH_BATCH, steps=64, warmup=8)
     except Exception as e:
-        log(f"cached e2e measurement failed: {e}")
-        cached_sps = b8_cached_sps = None
+        log(f"B=8 cached e2e measurement failed: {e}")
+        b8_cached_sps = None
     try:
         e2e_sps = measure_tpu_e2e(TPU_BATCH)
         b8_sps = measure_tpu_e2e(TORCH_BATCH)

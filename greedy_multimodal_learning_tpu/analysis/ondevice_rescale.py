@@ -49,13 +49,15 @@ class RescaleMeanAccumulator:
     """
 
     def __init__(self, selected_indices, record_pack_spec):
+        from collections import Counter
+
         self.selected = np.asarray(selected_indices)
-        if len(np.unique(self.selected)) != len(self.selected):
-            raise ValueError(
-                "selected_indices must be unique (the host pickle pipeline "
-                "weights each selected sample exactly once)"
-            )
-        self._member_of = set(int(i) for i in self.selected)
+        # Multiset weighting: the host pipeline's ``maps[selected].mean(0)``
+        # counts a duplicated selected index once PER OCCURRENCE (multi-host
+        # training histories can contain borrowed top-up duplicates,
+        # parallel/multihost.py), so the member weight is the multiplicity,
+        # not 0/1.
+        self._weight_of = Counter(int(i) for i in self.selected)
         self.spec = record_pack_spec
         self.sums = None  # list of (C,) device arrays aligned to squeeze spec entries
         self.count = None  # device scalar: number of member samples consumed
@@ -83,12 +85,12 @@ class RescaleMeanAccumulator:
     # -- accumulation -------------------------------------------------------
 
     def member_mask(self, indices_trimmed, size, batch_rows):
-        """(batch_rows,) f32 row weights: 1.0 for real rows whose sample
-        index is in the selected set, 0.0 for non-members and padding."""
+        """(batch_rows,) f32 row weights: the selected-set multiplicity of
+        each real row's sample index (usually 1), 0.0 for non-members and
+        padding."""
         row = np.zeros((batch_rows,), np.float32)
         for j, idx in enumerate(np.asarray(indices_trimmed)[:size]):
-            if int(idx) in self._member_of:
-                row[j] = 1.0
+            row[j] = self._weight_of.get(int(idx), 0.0)
         return row
 
     def consume(self, packed, member):

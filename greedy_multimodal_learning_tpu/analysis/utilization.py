@@ -81,7 +81,21 @@ def get_rescale_weights(
     if os.path.exists(fast):
         with open(fast, "rb") as f:
             blob = pickle.load(f)
-        if blob.get("key") == key and bool(blob.get("validation")) == bool(validation):
+        # identity check: the blob must have been averaged over exactly the
+        # index set THIS call would select from THIS training run (guards
+        # against a blob built from a different training path or selection)
+        training_history = _load_history(training_save_path)
+        want = np.asarray(
+            training_history["val_indices"][0] if validation else training_history["train_indices"][0]
+        )
+        selection_matches = "selected" in blob and np.array_equal(
+            np.asarray(blob["selected"]), np.asarray(want)
+        )
+        if (
+            blob.get("key") == key
+            and bool(blob.get("validation")) == bool(validation)
+            and selection_matches
+        ):
             modules = blob["means"]  # {module_index: {view_index: (C,)}}
             weights = []
             for position in range(mmtmpositions):

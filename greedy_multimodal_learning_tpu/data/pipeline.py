@@ -295,15 +295,17 @@ class DeviceCachePipeline(BatchPipeline):
             # first *local* device: under multi-host, jax.devices()[0] can be
             # another process's chip — uploads must target an addressable one
             device = jax.local_devices()[0]
-            if not self._budget_ok(device):
-                self._streaming = True
-                return False
             # Corpus assembly fills the dataset's host sample cache, which
             # the cached iteration path never reads again; remember which
             # entries we add so they can be released after a successful
             # upload (keeps pre-warmed entries for the streaming fallback).
+            # Snapshot BEFORE the budget check: _corpus_nbytes probes one
+            # sample, and that probe entry must be released too.
             host_cache = getattr(self.dataset, "_cache", None)
             pre_cached = set(host_cache) if host_cache is not None else None
+            if not self._budget_ok(device):
+                self._streaming = True
+                return False
             items = [self.dataset[int(i)] for i in self.indices]
             imgs = np.stack([it[1] for it in items])
             # reserved all-zero pad row (matches _collate's zero padding)
@@ -340,25 +342,25 @@ class DeviceCachePipeline(BatchPipeline):
                     "the %d-device mesh; batches gathered pre-sharded P('data')",
                     len(items), imgs.nbytes / 1e6, self.mesh.size,
                 )
-                return True
-            dimg = jax.device_put(imgs, device)
-            dlab = jax.device_put(labels, device)
-            dimg.block_until_ready()
-            self._corpus = (dimg, dlab)
-            # explicit args (not closure constants): XLA must not bake the
-            # corpus into the executable as a literal
-            self._gather = jax.jit(
-                lambda img, lab, rows, mask: (img[rows], lab[rows], mask)
-            )
+            else:
+                dimg = jax.device_put(imgs, device)
+                dlab = jax.device_put(labels, device)
+                dimg.block_until_ready()
+                self._corpus = (dimg, dlab)
+                # explicit args (not closure constants): XLA must not bake
+                # the corpus into the executable as a literal
+                self._gather = jax.jit(
+                    lambda img, lab, rows, mask: (img[rows], lab[rows], mask)
+                )
+                logger.info(
+                    "device cache: %d samples (%.1f MB uint8) resident on %s",
+                    len(items), imgs.nbytes / 1e6, device,
+                )
             if host_cache is not None and pre_cached is not None:
-                # upload succeeded: don't hold a second (host) copy of the
-                # split for the process lifetime
+                # upload succeeded (either layout): don't hold a second
+                # (host) copy of the split for the process lifetime
                 for k in [k for k in host_cache if k not in pre_cached]:
                     del host_cache[k]
-            logger.info(
-                "device cache: %d samples (%.1f MB uint8) resident on %s",
-                len(items), imgs.nbytes / 1e6, device,
-            )
             return True
         except Exception:
             logger.warning(

@@ -324,7 +324,25 @@ class Trainer:
                 for idx, sz in zip(indices_list, sizes)
             ]
         )
-        acc.consume(out.pop("packed_records"), member)
+        spec = getattr(self._eval_step, "record_pack_spec", ())
+        only_squeeze = all(key == "squeezedmaps_array_list" for key, *_ in spec)
+        if only_squeeze:
+            acc.consume(out.pop("packed_records"), member)
+        else:
+            # other recording payloads (e.g. saving_mmtm_scales) share the
+            # packed buffer: reduce the squeeze entries but KEEP the buffer
+            # so the other payloads still reach the history — no byte
+            # savings in this configuration, and say so once
+            if not getattr(self, "_warned_mixed_records", False):
+                self._warned_mixed_records = True
+                logging.getLogger(__name__).warning(
+                    "ondevice_rescale with non-squeeze recording payloads "
+                    "(%s): the packed buffer is still fetched so those "
+                    "payloads are preserved — the D2H saving only applies "
+                    "to squeeze-only recording runs",
+                    sorted({key for key, *_ in spec if key != "squeezedmaps_array_list"}),
+                )
+            acc.consume(out["packed_records"], member)
 
     def _eval_generator(self, generator, phase, *, steps=None, callback_list=None):
         if generator is None or not self.fold_bn_eval:

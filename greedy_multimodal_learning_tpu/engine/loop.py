@@ -376,7 +376,15 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
     history_csv_path = os.path.join(save_path, "eval_history.csv")
     history_pkl_path = os.path.join(save_path, "eval_history.pkl")
     logger.info("Removing %s and %s", history_pkl_path, history_csv_path)
-    _remove_stale([history_pkl_path, history_csv_path])
+    from ..analysis.ondevice_rescale import RESCALE_MEANS_FILENAME
+
+    # also drop any stale on-device means file: a leftover blob from a
+    # previous recording must never shadow this pass's fresh payload
+    _remove_stale([
+        history_pkl_path,
+        history_csv_path,
+        os.path.join(save_path, "eval_history_batch", RESCALE_MEANS_FILENAME),
+    ])
 
     H = {}
     callbacks = list(custom_callbacks)
@@ -406,7 +414,11 @@ def evalution_loop(  # [sic] reference name kept for gin compatibility (quirk #9
                     "validation": bool(ondevice_rescale_validation),
                     "means": means,
                     "count": count,
-                    "selected_n": int(len(selected)),
+                    # identity: the exact index set the means were averaged
+                    # over — get_rescale_weights re-derives its selection
+                    # from ITS training_save_path and only takes the fast
+                    # path when the sets match
+                    "selected": _np.asarray(selected, _np.int64),
                 },
                 f,
             )

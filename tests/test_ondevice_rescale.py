@@ -125,6 +125,23 @@ def test_ondevice_means_match_pickle_pipeline(trained):
     with pytest.raises(Exception):
         get_rescale_weights(od_dir, save, validation=True)
 
+    # a blob averaged over a DIFFERENT index set (stale, or from another
+    # training run) must be ignored — the default dir has the per-sample
+    # pickle, so the call falls through and still returns the true means
+    stale = dict(blob)
+    stale["selected"] = np.asarray([0], np.int64)
+    with open(os.path.join(default_dir, RESCALE_MEANS_FILENAME), "wb") as f:
+        pickle.dump(stale, f)
+    try:
+        via_fallback = get_rescale_weights(default_dir, save)
+        for position in range(1, 4):
+            for view in range(2):
+                np.testing.assert_array_equal(
+                    via_fallback[position][view], ref[position][view]
+                )
+    finally:
+        os.remove(os.path.join(default_dir, RESCALE_MEANS_FILENAME))
+
 
 def test_accumulator_scan_and_step_shapes():
     """Unit: the jitted accumulator folds (flat,) per-step and (K, flat)
@@ -170,10 +187,27 @@ def test_accumulator_scan_and_step_shapes():
     np.testing.assert_allclose(means[0][1], oracle2, rtol=1e-5)
 
 
-def test_accumulator_rejects_duplicate_selection():
+def test_accumulator_duplicate_selection_uses_multiplicity():
+    """Multi-host training histories can contain borrowed top-up duplicates
+    (parallel/multihost.py); the host pipeline's maps[selected].mean(0)
+    counts those rows once per occurrence, so the accumulator must weight
+    by multiplicity."""
+    import jax.numpy as jnp
+
     from greedy_multimodal_learning_tpu.analysis.ondevice_rescale import (
         RescaleMeanAccumulator,
     )
 
-    with pytest.raises(ValueError):
-        RescaleMeanAccumulator([1, 1, 2], [])
+    rng = np.random.default_rng(1)
+    B, C = 3, 4
+    spec = [("squeezedmaps_array_list", 0, 0, (B, C))]
+    acc = RescaleMeanAccumulator([1, 1, 2], spec)  # index 1 selected twice
+    maps = rng.normal(size=(B, C)).astype(np.float32)
+    member = acc.member_mask([1, 2, 5], 3, B)
+    np.testing.assert_array_equal(member, [2, 1, 0])
+    acc.consume(jnp.asarray(maps.ravel()), member[None])
+    means, count = acc.means()
+    assert count == 3
+    # host oracle: rows indexed with the duplicate -> mean over [m1, m1, m2]
+    oracle = (2 * maps[0] + maps[1]) / 3.0
+    np.testing.assert_allclose(means[0][0], oracle, rtol=1e-5)

@@ -207,6 +207,20 @@ def test_host_cache_released_after_upload(modelnet_root):
     del pre
 
 
+def test_host_cache_released_after_mesh_upload(modelnet_root):
+    """The mesh-replicated layout must release upload-added host-cache
+    entries exactly like the pinned layout (no second host copy)."""
+    from greedy_multimodal_learning_tpu.data.pipeline import adopt_mesh_for_cache
+    from greedy_multimodal_learning_tpu.parallel import make_mesh
+
+    _, cached = _pipelines(modelnet_root)
+    adopt_mesh_for_cache([cached], make_mesh(jax.devices()))
+    ds = cached.dataset
+    assert ds._cache == {}
+    assert cached._ensure_corpus()
+    assert cached.mesh is not None and ds._cache == {}
+
+
 def test_fallback_budget_refusal_logs(modelnet_root, caplog, monkeypatch):
     """The no-memory-stats budget branch must warn like the stats branch."""
     import logging

@@ -198,8 +198,11 @@ def main():
     ap.add_argument("--arms", nargs="+", default=["guided", "random"], choices=["guided", "random"])
     ap.add_argument("--impls", nargs="+", default=["ref", "jax"], choices=["ref", "jax"])
     ap.add_argument("--nclasses", type=int, default=NCLASSES,
-                    help="label-space size; must match the workdir's dataset "
-                    "(northstar scale: 40)")
+                    help="label-space size; also passed to dataset generation "
+                    "for a fresh workdir (northstar scale: 40)")
+    ap.add_argument("--image-size", type=int, default=IMAGE,
+                    help="image side for dataset generation of a fresh "
+                    "workdir (northstar scale: 112)")
     ap.add_argument(
         "--jax-device",
         default="cpu",
@@ -214,7 +217,8 @@ def main():
     os.makedirs(workdir, exist_ok=True)
     data = os.path.join(workdir, "data")
     if not os.path.exists(os.path.join(data, "metadata.json")):
-        rc = sh([sys.executable, os.path.join(HERE, "make_dataset.py"), data],
+        rc = sh([sys.executable, os.path.join(HERE, "make_dataset.py"), data,
+                 "--classes", str(args.nclasses), "--image-size", str(args.image_size)],
                 os.path.join(workdir, "datagen.log"))
         assert rc == 0, "dataset generation failed"
 
