@@ -211,3 +211,64 @@ def test_accumulator_duplicate_selection_uses_multiplicity():
     # host oracle: rows indexed with the duplicate -> mean over [m1, m1, m2]
     oracle = (2 * maps[0] + maps[1]) / 3.0
     np.testing.assert_allclose(means[0][0], oracle, rtol=1e-5)
+
+
+def test_accumulator_through_scanned_eval_pass(tmp_path):
+    """End-to-end through Trainer._eval_generator with enough batches to
+    engage the scanned eval program (2 scan groups of K=10 + a per-step
+    tail): the on-device means must equal a host-side average of the
+    recorded per-sample maps over the selected indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from greedy_multimodal_learning_tpu.analysis.ondevice_rescale import (
+        RescaleMeanAccumulator,
+    )
+    from greedy_multimodal_learning_tpu.data import BatchPipeline, MultiviewModelNet
+    from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.framework import Trainer
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    n = 88  # batch 4 -> 22 steps >= 2 * eval_scan_size
+    root = make_synthetic_modelnet(str(tmp_path / "d"), n_train=n, n_test=4,
+                                   num_views=2, image_size=32, nclasses=4)
+    ds = MultiviewModelNet(root, "train", specific_view=[0, 1])
+    selected = list(range(0, n, 3))  # arbitrary subset
+
+    def run(install_accumulator):
+        pipe = BatchPipeline(ds, range(n), 4, shuffle=False, prefetch=0)
+        model = MMTMMVCNN(nclasses=4, num_towers=2, dtype=jnp.float32,
+                          saving_mmtm_squeeze_array=True)
+        state = create_train_state(model, make_optimizer(lr=0.1),
+                                   jax.random.PRNGKey(0),
+                                   jnp.zeros((4, 2, 32, 32, 3), jnp.float32))
+        trainer = Trainer(model=model, optimizer=make_optimizer(lr=0.1),
+                          state=state, verbose=False)
+        acc = None
+        if install_accumulator:
+            acc = RescaleMeanAccumulator(selected, trainer._eval_step.record_pack_spec)
+            trainer.rescale_accumulator = acc
+        info = trainer._eval_generator(pipe, "test")
+        return info, acc
+
+    info, _ = run(False)
+    assert "test_squeezedmaps_array_list" in info
+    # host oracle: concat per-batch maps (dataset order, shuffle=False),
+    # average over the selected rows
+    batches = info["test_squeezedmaps_array_list"]
+    ordered = {  # (module, view) -> (n, C)
+        (mi, vi): np.concatenate([b[mi][vi] for b in batches])
+        for mi in range(3) for vi in range(2)
+    }
+
+    info_acc, acc = run(True)
+    assert "test_squeezedmaps_array_list" not in info_acc  # payload dropped
+    assert info_acc["test_acc"] == info["test_acc"]  # metrics unaffected
+    means, count = acc.means()
+    assert count == len(selected)
+    for mi in range(3):
+        for vi in range(2):
+            np.testing.assert_allclose(
+                means[mi][vi], ordered[(mi, vi)][selected].mean(0),
+                rtol=1e-5, atol=1e-6,
+            )
