@@ -228,16 +228,28 @@ def main():
         with open(summary_path) as f:
             summary = json.load(f).get("runs", {})
 
+    ran = {}  # the runs THIS invocation executed (authoritative on write)
     for arm in args.arms:
         for seed in args.seeds:
             for impl in args.impls:
                 name = f"{impl}_{arm}_s{seed}"
                 if name in summary and "error" not in summary[name]:
                     continue
-                summary[name] = run_one(
+                ran[name] = summary[name] = run_one(
                     impl, arm, seed, workdir, data, args.epochs, args.jax_device,
                     args.nclasses,
                 )
+                # re-merge from disk before every write: a concurrent
+                # invocation (e.g. --impls ref and --impls jax drivers
+                # running side by side) may have completed runs since this
+                # process loaded the file, and a blind dump would clobber
+                # them.  Only the runs this invocation actually executed
+                # override what is on disk.
+                if os.path.exists(summary_path):
+                    with open(summary_path) as f:
+                        on_disk = json.load(f).get("runs", {})
+                    on_disk.update(ran)
+                    summary = on_disk
                 # aggregate over every (arm, seed) present in the merged
                 # runs, not just this invocation's — sequential invocations
                 # (e.g. per-arm) must not clobber each other's aggregates
