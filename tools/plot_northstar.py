@@ -24,12 +24,19 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import pandas as pd
 
-# Reference data-viz palette (validated categorical slots 1-3) + chrome,
-# light mode.  Fixed assignment: guided=slot 1, random=slot 2, weakest=slot 3.
+# Reference data-viz palette (validated categorical slots 1-4, fixed
+# order, never cycled) + chrome, light mode.  Fixed assignment:
+# guided=slot 1, random=slot 2, weakest=slot 3, weakest80=slot 4.
 C_GUIDED = "#2a78d6"  # series 1: blue
 C_RANDOM = "#eb6834"  # series 2: orange
 C_WEAKEST = "#1baf7a"  # series 3: aqua
-ARM_COLORS = {"guided": C_GUIDED, "random": C_RANDOM, "weakest": C_WEAKEST}
+C_WEAKEST80 = "#eda100"  # series 4: yellow
+ARM_COLORS = {
+    "guided": C_GUIDED,
+    "random": C_RANDOM,
+    "weakest": C_WEAKEST,
+    "weakest80": C_WEAKEST80,
+}
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK2 = "#52514e"
@@ -57,10 +64,11 @@ def dot_strip(ax, rows, key, xlabel):
     """rows: {arm_name: [...], ...}; horizontal dot strip with a mean tick
     per arm.  Dots stack vertically when they collide.  Arms are drawn
     bottom-up in reverse of their fixed categorical order
-    (guided/random/weakest), skipping arms absent from ``rows``."""
+    (guided/random/weakest/weakest80), skipping arms absent from
+    ``rows``."""
     style_axes(ax, xlabel=xlabel)
     ax.grid(False, axis="y")
-    arms = [a for a in ("weakest", "random", "guided") if rows.get(a)]
+    arms = [a for a in ("weakest80", "weakest", "random", "guided") if rows.get(a)]
     for yi, arm in enumerate(arms):
         color = ARM_COLORS[arm]
         vals = sorted(rows[arm])

@@ -91,9 +91,11 @@ def main():
         "--arms",
         nargs="+",
         default=["guided", "random"],
-        choices=["guided", "random", "weakest"],
+        choices=["guided", "random", "weakest", "weakest80"],
         help="which controller arms to run (weakest = Bias_Mitigation_Weakest, "
-        "the N-modality extension — see configs/training_3dcnn_weakest.gin)",
+        "the N-modality extension — see configs/training_3dcnn_weakest.gin; "
+        "weakest80 = the same controller at an 8-of-10-step duty cycle, the "
+        "curation-intensity follow-up RESULTS.md's 18-seed analysis calls for)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=50)
     ap.add_argument(
@@ -129,6 +131,10 @@ def main():
         "guided": "configs/training_3dcnn_guided.gin",
         "random": "configs/training_3dcnn_random.gin",
         "weakest": "configs/training_3dcnn_weakest.gin",
+        "weakest80": "configs/training_3dcnn_weakest.gin",
+    }
+    arm_bindings = {
+        "weakest80": "#Bias_Mitigation_Weakest.curation_windowsize=8",
     }
     for kind, config in ((k, arm_configs[k]) for k in args.arms):
         for seed in args.seeds:
@@ -137,6 +143,7 @@ def main():
             log = os.path.join(args.workdir, f"{name}.log")
             bindings = (
                 common
+                + arm_bindings.get(kind, "")
                 + f"#train.seed={seed}"
                 + f"#training_loop.n_epochs={args.epochs}"
                 + f"#training_loop.checkpoint_every={args.checkpoint_every}"
