@@ -213,6 +213,26 @@ def test_weakest_controller_duty_cycle():
     assert np.isfinite(float(state.d_BDR))
 
 
+def test_weakest_controller_high_duty_cycle():
+    """The 8-of-10 duty cycle (the RESULTS.md Finding 3 'weakest80' arm,
+    bound via Bias_Mitigation_Weakest.curation_windowsize=8): 8 curated
+    then 2 uncurated steps per 10 unlocked steps, phase-locked to the
+    unlocked-step counter."""
+    state = init_controller_state(3)
+    gn = jnp.ones((6,), jnp.float32)
+    wn = jnp.ones((6,), jnp.float32)
+    state = state.replace(caring_modality=jnp.asarray(1, jnp.int32))
+    pattern = []
+    for _ in range(20):
+        state = weakest_update(
+            state, gn, wn, jnp.asarray(True),
+            curation_windowsize=8, duty_period=10,
+        )
+        pattern.append(bool(state.curation_mode))
+    assert pattern == ([True] * 8 + [False] * 2) * 2
+    assert int(state.caring_modality) == 1
+
+
 def test_weakest_callback_designates_argmin_val_modality():
     """Bias_Mitigation_Weakest: epoch-end designates argmin of the
     per-modality val accuracy (train fallback when no val split), clears
