@@ -23,9 +23,11 @@ Usage: python3 tools/parity/run_parity.py WORKDIR [--epochs 21]
 from __future__ import annotations
 
 import argparse
+import fcntl
 import json
 import os
 import sys
+import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
@@ -239,30 +241,37 @@ def main():
                     impl, arm, seed, workdir, data, args.epochs, args.jax_device,
                     args.nclasses,
                 )
-                # re-merge from disk before every write: a concurrent
-                # invocation (e.g. --impls ref and --impls jax drivers
-                # running side by side) may have completed runs since this
-                # process loaded the file, and a blind dump would clobber
-                # them.  Only the runs this invocation actually executed
-                # override what is on disk.
-                if os.path.exists(summary_path):
-                    with open(summary_path) as f:
-                        on_disk = json.load(f).get("runs", {})
-                    on_disk.update(ran)
-                    summary = on_disk
-                # aggregate over every (arm, seed) present in the merged
-                # runs, not just this invocation's — sequential invocations
-                # (e.g. per-arm) must not clobber each other's aggregates
-                all_arms = sorted({k.split("_", 1)[1].rsplit("_s", 1)[0] for k in summary})
-                all_seeds = sorted({int(k.rsplit("_s", 1)[1]) for k in summary})
-                out = {
-                    "runs": summary,
-                    "aggregate": aggregate(summary, all_arms, all_seeds),
-                    "config": {"epochs": args.epochs, "seeds": args.seeds,
-                               "nclasses": args.nclasses, "image": IMAGE},
-                }
-                with open(summary_path, "w") as f:
-                    json.dump(out, f, indent=2)
+                # Merge-and-write under an exclusive flock, with an atomic
+                # rename: concurrent invocations (e.g. --impls ref and
+                # --impls jax drivers running side by side) may complete
+                # runs between this process's read and write, and a reader
+                # must never see a half-written summary.  Only the runs
+                # this invocation actually executed override disk state.
+                lock_path = summary_path + ".lock"
+                with open(lock_path, "w") as lock:
+                    fcntl.flock(lock, fcntl.LOCK_EX)
+                    if os.path.exists(summary_path):
+                        with open(summary_path) as f:
+                            on_disk = json.load(f).get("runs", {})
+                        on_disk.update(ran)
+                        summary = on_disk
+                    # aggregate over every (arm, seed) present in the
+                    # merged runs, not just this invocation's — sequential
+                    # invocations (e.g. per-arm) must not clobber each
+                    # other's aggregates
+                    all_arms = sorted({k.split("_", 1)[1].rsplit("_s", 1)[0] for k in summary})
+                    all_seeds = sorted({int(k.rsplit("_s", 1)[1]) for k in summary})
+                    out = {
+                        "runs": summary,
+                        "aggregate": aggregate(summary, all_arms, all_seeds),
+                        "config": {"epochs": args.epochs, "seeds": args.seeds,
+                                   "nclasses": args.nclasses,
+                                   "image": args.image_size},
+                    }
+                    fd, tmp = tempfile.mkstemp(dir=workdir, suffix=".summary.tmp")
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(out, f, indent=2)
+                    os.replace(tmp, summary_path)
                 print(json.dumps({name: summary[name]}), flush=True)
 
     print("DONE", flush=True)
