@@ -330,6 +330,83 @@ class Bias_Mitigation_Weakest(_BalancingControllerBase):
 
 
 @cfg.configurable
+class Bias_Mitigation_AdaptiveWeakest(_BalancingControllerBase):
+    """Weakest-modality targeting with an adaptive (gap-gated) trigger —
+    an N-modality extension with no reference counterpart.
+
+    The committed 3-modality suite (RESULTS.md) left a precise open
+    question: ``Bias_Mitigation_Weakest`` fixes guided's targeting gap but
+    pays ~3 epochs of convergence for its fixed duty cycle, and the
+    curation-intensity arm showed intensity moves convergence, not
+    utilization.  This controller curates the designated weakest modality
+    *only while the imbalance persists*: after every epoch it designates
+    the modality with the lowest held-out per-modality accuracy, and opens
+    the curation gate only if that accuracy trails the mean of the other
+    modalities by more than ``min_gap`` points (else the target is cleared
+    to -1 and no curation happens).  While the gate is open the device
+    side applies the guided controller's window semantics (enter a
+    ``curation_windowsize``-step window, count down, exit, re-enter —
+    reference: src/callbacks.py:240-263) via
+    :func:`~.controller.adaptive_weakest_update`.  The BDR trigger itself
+    cannot serve as the gate: RESULTS.md Finding 1 shows a trunk-memorizing
+    weak modality never becomes the BDR argmax, which is exactly why the
+    gate reads held-out accuracy instead.
+    """
+
+    controller_kind = "adaptive_weakest"
+
+    def __init__(
+        self,
+        curation_windowsize=5,
+        min_gap=5.0,
+        starting_epoch=2,
+        branchnames=("net_view_0", "net_view_1"),
+        MMTMnames=("visual", "skeleton"),
+        monitor="val",
+    ):
+        if curation_windowsize < 1:
+            raise ValueError("curation_windowsize must be >= 1")
+        if min_gap < 0:
+            raise ValueError("min_gap must be >= 0 (accuracy points)")
+        if monitor not in ("val", "train"):
+            raise ValueError(f"monitor must be 'val' or 'train', got {monitor!r}")
+        self.curation_windowsize = curation_windowsize
+        self.min_gap = min_gap
+        self.starting_epoch = starting_epoch
+        self.branchnames = list(branchnames)
+        self.MMTMnames = list(MMTMnames)
+        self.monitor = monitor
+
+    def controller_config(self):
+        return dict(
+            curation_windowsize=self.curation_windowsize,
+            branchnames=self.branchnames,
+            mmtm_names=self.MMTMnames,
+            starting_epoch=self.starting_epoch,
+        )
+
+    def on_train_begin(self, logs):
+        resumed = getattr(self.model_pytoune, "_skip_next_controller_reset", False)
+        super().on_train_begin(logs)
+        if not resumed:
+            self.model_pytoune.set_controller_target(-1)
+
+    def on_epoch_begin(self, epoch, logs):
+        if epoch >= self.starting_epoch:
+            self.model_pytoune.unlock_controller()
+
+    def on_epoch_end(self, epoch, logs):
+        n = self.model_pytoune.nummodalities
+        prefix = "val_" if self.monitor == "val" and "val_acc_modal_0" in logs else ""
+        accs = [logs.get(f"{prefix}acc_modal_{i}") for i in range(n)]
+        if any(a is None for a in accs):
+            return
+        weakest = int(np.argmin(accs))
+        gap = (sum(accs) - accs[weakest]) / (n - 1) - accs[weakest]
+        self.model_pytoune.set_controller_target(weakest if gap > self.min_gap else -1)
+
+
+@cfg.configurable
 class CompletedStopping(Callback):
     """Stop when the monitored metric hits exactly 100 for ``patience``
     (cumulative, not consecutive — mirroring the reference's counter that

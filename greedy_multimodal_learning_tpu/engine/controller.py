@@ -175,6 +175,77 @@ def weakest_update(
     )
 
 
+def adaptive_weakest_update(
+    state: ControllerState,
+    gn: jnp.ndarray,
+    wn: jnp.ndarray,
+    unlock,
+    *,
+    curation_windowsize: int,
+) -> ControllerState:
+    """Weakest-modality targeting driven by the guided controller's window
+    mechanics instead of a fixed duty cycle (N-modality extension; no
+    reference counterpart).
+
+    Motivated by the committed 3-modality findings (RESULTS.md): the
+    fixed-duty weakest controller fixes guided's *targeting* gap but pays
+    ~3 epochs of convergence because it curates at a constant rate whether
+    or not imbalance persists; the BDR trigger itself cannot gate the
+    target (Finding 1 — a trunk-memorizing weak modality never becomes the
+    BDR argmax).  So the *trigger* here is host-side and epoch-granular:
+    ``Bias_Mitigation_AdaptiveWeakest`` designates the val-weakest modality
+    only while its held-out accuracy trails the other modalities' mean by
+    more than ``min_gap`` points, writing -1 otherwise.  The device side
+    applies the reference's window semantics (reference:
+    src/callbacks.py:240-263) to that gate: while a target is designated
+    and curation is off, enter a ``curation_windowsize``-step curation
+    window caring for the target; count the window down; exit; re-enter
+    while the gate holds — exactly the guided controller's enter/countdown
+    behavior with ``over`` replaced by "host gate open".
+
+    M accumulators and d_BDR telemetry follow guided's advance gating
+    (freeze while curating) so mechanism comparisons against guided read
+    the same way.  ``caring_modality`` always carries the host target so
+    the designation survives across steps (-1 = gate closed).
+    """
+    n = state.M_main.shape[0]
+    target = state.caring_modality  # host-set; persists across steps
+    over = target >= 0
+
+    advance = jnp.logical_or(jnp.logical_not(state.curation_mode), jnp.logical_not(unlock))
+    M_main = jnp.where(advance, state.M_main + gn[:n] / wn[:n], state.M_main)
+    M_bypass = jnp.where(advance, state.M_bypass + gn[n:] / wn[n:], state.M_bypass)
+    bdr = jnp.log10(M_bypass / M_main)
+    if n == 2:
+        d_scalar = bdr[0] - bdr[1]
+    else:
+        mean_others = (jnp.sum(bdr) - bdr) / (n - 1)
+        d_scalar = jnp.max(bdr - mean_others)
+    new_d = jnp.where(advance, d_scalar, state.d_BDR)
+
+    enter = jnp.logical_and(unlock, jnp.logical_and(jnp.logical_not(state.curation_mode), over))
+    counting = jnp.logical_and(unlock, state.curation_mode)
+    next_count = state.curation_step + 1
+    window_done = next_count == curation_windowsize
+
+    curation_mode = jnp.where(
+        unlock,
+        jnp.where(state.curation_mode, jnp.logical_not(window_done), over),
+        jnp.asarray(False),
+    )
+    curation_step = jnp.where(enter, 0, jnp.where(counting, next_count, state.curation_step))
+
+    return ControllerState(
+        M_main=M_main,
+        M_bypass=M_bypass,
+        curation_mode=curation_mode,
+        caring_modality=target,
+        curation_step=curation_step,
+        d_BDR=new_d,
+        rng=state.rng,
+    )
+
+
 def random_update(
     state: ControllerState,
     gn: jnp.ndarray,

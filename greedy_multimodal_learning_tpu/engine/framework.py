@@ -132,7 +132,7 @@ class Trainer:
         from .bdr import GroupReducer
 
         group_matrix = GroupReducer(state.params, branchnames, mmtm_names)
-        if controller_kind in ("guided", "weakest"):
+        if controller_kind in ("guided", "weakest", "adaptive_weakest"):
             # An empty parameter group (typo'd branch/modality name, or a
             # model whose tower names don't match) would make the BDR ratio
             # 0/0 = NaN — silently disabling curation (guided) or poisoning
@@ -367,15 +367,17 @@ class Trainer:
     def _eval_generator_inner(self, generator, phase, *, steps=None, callback_list=None):
         if generator is None:  # train-only runs: no val/test pass, no keys
             return {}
-        if self.controller_kind == "weakest":
+        if self.controller_kind in ("weakest", "adaptive_weakest"):
             # The guided/random controllers mirror the reference: the live
             # curation flags thread into eval forwards (src/framework.py:
-            # 146-148,232-237).  The weakest extension has no reference
-            # counterpart and its duty cycle could otherwise end an epoch
-            # mid-window, so its per-modality val metrics — the argmin the
-            # next designation reads — would be measured with the cared
-            # gate averaged.  Evaluate with curation off; the next train
-            # step recomputes the mode from the duty phase regardless.
+            # 146-148,232-237).  The weakest extensions have no reference
+            # counterpart and a duty cycle / window could otherwise end an
+            # epoch mid-curation, so the per-modality val metrics — the
+            # argmin and gap the next designation reads — would be measured
+            # with the cared gate averaged.  Evaluate with curation off;
+            # the next train step recomputes the mode (weakest: from the
+            # duty phase; adaptive: a fresh window entry while the host
+            # gate stays open).
             ctrl = self.state.controller
             # unconditional replace: a host->device scalar is async, while
             # inspecting the flag first would block on a device fetch

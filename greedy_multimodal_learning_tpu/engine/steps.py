@@ -37,7 +37,7 @@ import optax
 
 from ..data.transforms import preprocess
 from .bdr import group_sq_norms
-from .controller import guided_update, null_update, random_update, weakest_update
+from .controller import adaptive_weakest_update, guided_update, null_update, random_update, weakest_update
 from .metrics import blend_and_per_view_acc, blend_loss
 
 
@@ -55,6 +55,11 @@ def make_controller_update(kind: str, num_modalities: int, **kwargs) -> Callable
             weakest_update,
             curation_windowsize=kwargs["curation_windowsize"],
             duty_period=kwargs["duty_period"],
+        )
+    if kind == "adaptive_weakest":
+        return functools.partial(
+            adaptive_weakest_update,
+            curation_windowsize=kwargs["curation_windowsize"],
         )
     return null_update
 

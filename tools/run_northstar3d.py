@@ -91,11 +91,14 @@ def main():
         "--arms",
         nargs="+",
         default=["guided", "random"],
-        choices=["guided", "random", "weakest", "weakest80"],
+        choices=["guided", "random", "weakest", "weakest80", "adaptive"],
         help="which controller arms to run (weakest = Bias_Mitigation_Weakest, "
         "the N-modality extension — see configs/training_3dcnn_weakest.gin; "
         "weakest80 = the same controller at an 8-of-10-step duty cycle, the "
-        "curation-intensity follow-up RESULTS.md's 18-seed analysis calls for)",
+        "curation-intensity follow-up RESULTS.md's 18-seed analysis calls for; "
+        "adaptive = Bias_Mitigation_AdaptiveWeakest, weakest targeting gated "
+        "on the val-accuracy gap with guided's window semantics — "
+        "configs/training_3dcnn_adaptive.gin, RESULTS.md Finding 4)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=50)
     ap.add_argument(
@@ -132,6 +135,7 @@ def main():
         "random": "configs/training_3dcnn_random.gin",
         "weakest": "configs/training_3dcnn_weakest.gin",
         "weakest80": "configs/training_3dcnn_weakest.gin",
+        "adaptive": "configs/training_3dcnn_adaptive.gin",
     }
     arm_bindings = {
         "weakest80": "#Bias_Mitigation_Weakest.curation_windowsize=8",
