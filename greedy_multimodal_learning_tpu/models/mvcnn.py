@@ -58,12 +58,19 @@ class MMTMMVCNN(nn.Module):
     saving_mmtm_scales: bool = False
     saving_mmtm_squeeze_array: bool = False
     remat: bool = False
+    stem_s2d: bool = False  # space-to-depth conv1 compute path (resnet.StemConv)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         n = self.num_towers
         self.towers = [
-            ResNet18Trunk(nclasses=self.nclasses, dtype=self.dtype, remat=self.remat, name=f"net_view_{i}")
+            ResNet18Trunk(
+                nclasses=self.nclasses,
+                dtype=self.dtype,
+                remat=self.remat,
+                stem_s2d=self.stem_s2d,
+                name=f"net_view_{i}",
+            )
             for i in range(n)
         ]
         self.mmtms = {
@@ -206,5 +213,6 @@ def build_model_from_config(dtype=None) -> MMTMMVCNN:
         saving_mmtm_scales=bool(q("saving_mmtm_scales", False)),
         saving_mmtm_squeeze_array=bool(q("saving_mmtm_squeeze_array", False)),
         remat=bool(q("remat", False)),
+        stem_s2d=bool(q("stem_s2d", False)),
         dtype=jnp.dtype(dtype_name) if isinstance(dtype_name, str) else dtype_name,
     )

@@ -358,6 +358,60 @@ def test_remat_trunk_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_stem_s2d_equivalence():
+    """stem_s2d=True computes conv1 as a 4×4 stride-1 conv over the 2×2
+    space-to-depth input — same parameter tree, same numerics to float
+    tolerance, forward and backward (resnet.StemConv)."""
+    m1 = ResNet18Trunk(nclasses=4, stem_s2d=False)
+    m2 = ResNet18Trunk(nclasses=4, stem_s2d=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    variables = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+    s1 = m1.apply(variables, x, False, method=ResNet18Trunk.stem)
+    s2 = m2.apply(variables, x, False, method=ResNet18Trunk.stem)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+    # backward through the stem: same cotangents for kernel and input
+    def stem_sum_sq(params, m, inp):
+        return jnp.sum(m.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                               inp, False, method=ResNet18Trunk.stem) ** 2)
+
+    g1 = jax.grad(stem_sum_sq, argnums=(0, 2))(variables["params"], m1, x)
+    g2 = jax.grad(stem_sum_sq, argnums=(0, 2))(variables["params"], m2, x)
+    np.testing.assert_allclose(
+        np.asarray(g1[0]["conv1"]["kernel"]), np.asarray(g2[0]["conv1"]["kernel"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-4, atol=1e-5)
+
+    # full fused model sanity: ~1e-6 stem deltas pass through 8 train-mode
+    # BN+ReLU layers and MMTM sigmoids, so only loose agreement is a valid
+    # expectation here (tight equivalence is pinned at the stem above)
+    f1 = MMTMMVCNN(nclasses=4, num_towers=2, stem_s2d=False)
+    f2 = MMTMMVCNN(nclasses=4, num_towers=2, stem_s2d=True)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 32, 32, 3))
+    fv = f1.init(jax.random.PRNGKey(0), xs, train=False)
+
+    def loss(params, m):
+        (blend, _, _, _), _ = m.apply(
+            {**fv, "params": params}, xs, train=True,
+            valid_mask=jnp.ones((2,)), mutable=["batch_stats", "mmtm"],
+        )
+        return jnp.sum(blend ** 2)
+
+    np.testing.assert_allclose(
+        float(loss(fv["params"], f1)), float(loss(fv["params"], f2)), rtol=2e-2
+    )
+
+    # odd spatial dims are rejected (static shape check)
+    with pytest.raises(ValueError, match="even spatial"):
+        m2.apply(variables, jax.random.normal(jax.random.PRNGKey(1), (1, 31, 32, 3)), False,
+                 method=ResNet18Trunk.stem)
+
+
 def test_mmtm_seonly_matches_oracle(mmtm_setup):
     """SEonly: per-modality independent squeeze-excitation
     (reference src/balanced_mmtm.py:34-36,60-69)."""

@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
-"""Full-train-step A/B: MMTM gating via fused Pallas kernel vs XLA.
+"""Full-train-step A/B: MMTM gating via fused Pallas kernel vs XLA, and
+the space-to-depth stem rewrite vs the standard 7×7 stride-2 conv1.
 
-The decisive measurement for defaulting `use_pallas` on: the kernel inside
+The decisive measurement for defaulting a variant on: the change inside
 the real donated step (convs, BDR, optimizer, controller all present), not
-an isolated microbenchmark.  Variants:
+an isolated microbenchmark (PERF.md's Pallas verdict methodology).
+Variants:
 
   xla           — plain JAX gating (XLA fusion decides everything)
   pallas        — fused forward kernel + fused backward kernel
   pallas_fwd    — fused forward, plain-JAX VJP backward
+  s2d           — plain gating + space-to-depth conv1 compute path
+                  (models/resnet.py StemConv; numerics-preserving, pinned
+                  by tests/test_models.py::test_stem_s2d_equivalence)
 
-Run:  python tools/bench_step_ab.py [--batches 128 256]
+Run:  python tools/bench_step_ab.py [--batches 128 256] [--variants xla s2d]
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ IMAGE = 224
 NCLASSES = 40
 
 
-def measure(B, use_pallas, pallas_bwd, steps=20, warmup=5):
+def measure(B, use_pallas, pallas_bwd, stem_s2d=False, steps=20, warmup=5):
     from greedy_multimodal_learning_tpu.engine import create_train_state, make_optimizer
     from greedy_multimodal_learning_tpu.engine.bdr import GroupReducer
     from greedy_multimodal_learning_tpu.engine.steps import build_train_step, make_controller_update
@@ -38,7 +43,10 @@ def measure(B, use_pallas, pallas_bwd, steps=20, warmup=5):
     from greedy_multimodal_learning_tpu.ops import mmtm_pallas
 
     mmtm_pallas.PALLAS_BACKWARD = pallas_bwd
-    model = MMTMMVCNN(nclasses=NCLASSES, num_towers=2, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    model = MMTMMVCNN(
+        nclasses=NCLASSES, num_towers=2, dtype=jnp.bfloat16,
+        use_pallas=use_pallas, stem_s2d=stem_s2d,
+    )
     opt = make_optimizer(lr=0.1)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros((B, 2, IMAGE, IMAGE, 3)))
     gm = GroupReducer(state.params, ["net_view_0", "net_view_1"], ["visual", "skeleton"])
@@ -68,26 +76,36 @@ def measure(B, use_pallas, pallas_bwd, steps=20, warmup=5):
     return dt, loss
 
 
+VARIANTS = {
+    # label: (use_pallas, pallas_bwd, stem_s2d)
+    "xla": (False, False, False),
+    "pallas": (True, True, False),
+    "pallas_fwd": (True, False, False),
+    "s2d": (False, False, True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[128, 256])
+    ap.add_argument("--variants", nargs="+", default=["xla", "pallas", "pallas_fwd"],
+                    choices=sorted(VARIANTS))
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     for B in args.batches:
         rows = {}
-        for label, (up, pb) in (
-            ("xla", (False, False)),
-            ("pallas", (True, True)),
-            ("pallas_fwd", (True, False)),
-        ):
-            dt, loss = measure(B, up, pb)
+        for label in args.variants:
+            up, pb, s2d = VARIANTS[label]
+            dt, loss = measure(B, up, pb, s2d)
             rows[label] = dt
             print(f"B={B} {label:11s}: {dt*1e3:7.2f} ms/step ({B/dt:6.0f} samples/s, loss {loss:.3f})", flush=True)
-        base = rows["xla"]
-        print(
-            f"B={B} pallas vs xla: {base/rows['pallas']:.3f}x | fwd-only kernel: {base/rows['pallas_fwd']:.3f}x",
-            flush=True,
-        )
+        base = rows.get("xla")
+        if base:
+            others = " | ".join(
+                f"{k} vs xla: {base/v:.3f}x" for k, v in rows.items() if k != "xla"
+            )
+            if others:
+                print(f"B={B} {others}", flush=True)
 
 
 if __name__ == "__main__":
