@@ -78,7 +78,7 @@ def fmt(vals, nd=4):
     return ", ".join(f"{v:.{nd}g}" if isinstance(v, float) else str(v) for v in vals)
 
 
-ARMS = ("guided", "random", "weakest", "weakest80")
+ARMS = ("guided", "random", "weakest", "weakest80", "adaptive")
 
 
 def arm_pairs(arms):
