@@ -106,7 +106,7 @@ def measure(B, dtype, steps=20, warmup=5):
     )
     opt = make_optimizer(lr=0.1)
     shape = (B, TOWERS, FRAMES, SIZE, SIZE, 3)
-    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros(shape))
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), jnp.zeros(shape), num_modalities=TOWERS)
     gm = GroupReducer(state.params, [f"net_view_{i}" for i in range(TOWERS)], ["rgb", "depth", "flow"])
     step = build_train_step(
         model, opt, gm, make_controller_update("guided", TOWERS, epsilon=0.01, curation_windowsize=5)
