@@ -24,18 +24,21 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import pandas as pd
 
-# Reference data-viz palette (validated categorical slots 1-4, fixed
+# Reference data-viz palette (validated categorical slots 1-5, fixed
 # order, never cycled) + chrome, light mode.  Fixed assignment:
-# guided=slot 1, random=slot 2, weakest=slot 3, weakest80=slot 4.
+# guided=slot 1, random=slot 2, weakest=slot 3, weakest80=slot 4,
+# adaptive=slot 5.
 C_GUIDED = "#2a78d6"  # series 1: blue
 C_RANDOM = "#eb6834"  # series 2: orange
 C_WEAKEST = "#1baf7a"  # series 3: aqua
 C_WEAKEST80 = "#eda100"  # series 4: yellow
+C_ADAPTIVE = "#9467bd"  # series 5: purple
 ARM_COLORS = {
     "guided": C_GUIDED,
     "random": C_RANDOM,
     "weakest": C_WEAKEST,
     "weakest80": C_WEAKEST80,
+    "adaptive": C_ADAPTIVE,
 }
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"

@@ -37,7 +37,7 @@ from plot_northstar import (  # noqa: E402
     style_axes,
 )
 
-ARMS = ("guided", "random", "weakest", "weakest80")  # fixed categorical order
+ARMS = ("guided", "random", "weakest", "weakest80", "adaptive")  # fixed categorical order
 
 
 def main():
