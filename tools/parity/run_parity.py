@@ -121,7 +121,8 @@ def summarize_run(run_dir):
     return out
 
 
-def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu", nclasses=NCLASSES):
+def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu", nclasses=NCLASSES,
+            train_only=False):
     """Train + recording + flow-off for one (implementation, arm, seed)."""
     name = f"{impl}_{arm}_s{seed}"
     run = os.path.join(workdir, name)
@@ -153,6 +154,13 @@ def run_one(impl, arm, seed, workdir, data, epochs, jax_device="cpu", nclasses=N
         rc = sh(train_cmd, log, env)
         if rc != 0:
             return {"error": f"train rc={rc}"}
+    if train_only:
+        # endpoint-only experiments (e.g. the matmul-precision A/B) skip the
+        # recording/flow-off phases; summarize_run tolerates their absence
+        try:
+            return summarize_run(run)
+        except Exception as e:
+            return {"error": repr(e)}
     if not os.path.exists(os.path.join(run, "eval_history_batch", "history.pickle")):
         rc = sh(rec_cmd, log, env)
         if rc != 0:
@@ -213,6 +221,9 @@ def main():
         "class, like-for-like) or tpu (the rebuild's native target; "
         "single-tenant tunnel — don't share the chip with another job)",
     )
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip the recording/flow-off phases (endpoint-only "
+                    "experiments, e.g. the matmul-precision A/B)")
     args = ap.parse_args()
 
     workdir = os.path.abspath(args.workdir)
@@ -239,7 +250,7 @@ def main():
                     continue
                 ran[name] = summary[name] = run_one(
                     impl, arm, seed, workdir, data, args.epochs, args.jax_device,
-                    args.nclasses,
+                    args.nclasses, args.train_only,
                 )
                 # Merge-and-write under an exclusive flock, with an atomic
                 # rename: concurrent invocations (e.g. --impls ref and
