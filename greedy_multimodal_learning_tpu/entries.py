@@ -21,14 +21,32 @@ from .engine import callbacks as avail_callbacks
 from .engine import evalution_loop, make_optimizer, training_loop
 
 
+def _set_matmul_precision(precision):
+    """Pin JAX's default matmul/conv precision for this process.
+
+    On TPU the backend default rounds matmul inputs to bf16 on the MXU
+    (f32 accumulate).  ``'highest'`` multiplies in full f32 — the
+    like-for-like setting against f32 CPU/GPU implementations (the
+    reference trains in stock torch f32, reference: src/model.py:53-60).
+    Measured effect on trained endpoints: results/parity/precision_ab.json;
+    PARITY_RUN.md §2."""
+    if precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
 @cfg.configurable
-def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), seed=777, model="MMTM_MVCNN"):
+def train(save_path, wd=0.0, lr=0.1, momentum=0.0, batch_size=8, callbacks=(), seed=777, model="MMTM_MVCNN",
+          matmul_precision=None):
     """Build model/data/optimizer and run the training loop
     (reference: train.py:43-70).
 
     ``model`` selects the family: 'MMTM_MVCNN' (ModelNet40 multiview,
     the reference's model) or 'MMTM_3DCNN' (NVGesture-style 3-modality
-    3D-CNN, BASELINE config 4)."""
+    3D-CNN, BASELINE config 4).  ``matmul_precision`` optionally pins
+    ``jax_default_matmul_precision`` ('highest' = parity-grade f32)."""
+    _set_matmul_precision(matmul_precision)
     model, (train_loader, valid_loader, test_loader) = build_model_and_loaders(model, batch_size)
 
     optimizer = make_optimizer(lr=lr, momentum=momentum, weight_decay=wd)
@@ -82,12 +100,14 @@ def eval_(
     callbacks=(),
     seed=777,
     model="MMTM_MVCNN",
+    matmul_precision=None,
 ):
     """Evaluate a checkpoint on a data split (reference: eval.py:23-58).
 
     With ``MMTM_MVCNN.mmtm_off=True`` the dataset-average squeeze maps are
     loaded via the analysis pipeline (reference: src/model.py:39-48) and the
     cross-modal flow is cut during the forward pass."""
+    _set_matmul_precision(matmul_precision)
     model_scope = model  # gin scope name for model-family bindings
     model, loaders = build_model_and_loaders(model, batch_size)
     target_data = select_split(loaders, target_data_split)
