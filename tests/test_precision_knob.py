@@ -35,18 +35,19 @@ def test_none_leaves_config_untouched(restore_precision):
 
 
 def test_precision_governs_traced_matmuls(restore_precision):
-    """The config must actually reach precision-unannotated dot ops —
-    on CPU 'highest' vs 'bfloat16' input rounding produces different
-    f32 products for values with >8 mantissa bits."""
-    a = jnp.full((64, 64), np.float32(1.0 + 2.0**-12))
-    b = jnp.eye(64, dtype=jnp.float32)
+    """The config must actually reach precision-unannotated dot ops.
+
+    Asserted on the lowered StableHLO (backend-independent): XLA-CPU
+    *computes* f32 either way, so a numeric probe can't see the setting
+    there — but the emitted ``precision`` attribute is what the TPU
+    compiler keys bf16-vs-f32 MXU passes on."""
+    a = jnp.ones((8, 8), jnp.float32)
+    b = jnp.ones((8, 8), jnp.float32)
 
     _set_matmul_precision("highest")
-    hi = jax.jit(lambda x, y: x @ y)(a, b)
+    hi_txt = jax.jit(lambda x, y: x @ y).lower(a, b).as_text()
+    assert "precision = [HIGHEST, HIGHEST]" in hi_txt
 
     _set_matmul_precision("bfloat16")
-    lo = jax.jit(lambda x, y: x @ y)(a, b)
-
-    assert np.allclose(np.asarray(hi), 1.0 + 2.0**-12)
-    # bf16 rounding drops the 2^-12 ulp entirely
-    assert np.allclose(np.asarray(lo), 1.0)
+    lo_txt = jax.jit(lambda x, y: x @ y).lower(a, b).as_text()
+    assert "HIGHEST" not in lo_txt
