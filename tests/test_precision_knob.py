@@ -10,7 +10,6 @@ trained endpoints is committed in results/parity/precision_ab.json.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from greedy_multimodal_learning_tpu.entries import _set_matmul_precision

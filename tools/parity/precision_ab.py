@@ -135,6 +135,29 @@ def main():
             },
         }
 
+    # paired per-seed deltas: jax_highest − jax_default share the seed, the
+    # dataset bytes, and therefore the ENTIRE RNG stream (shuffle order,
+    # flip draws, controller draws — train.seed governs all three), so the
+    # pair isolates matmul rounding + its chaotic amplification from every
+    # RNG-stream effect the unpaired comparison confounds
+    paired = {}
+    for arm in args.arms:
+        rows = []
+        for s in seeds:
+            d = committed.get(f"jax_{arm}_s{s}", {})
+            h = precision.get(f"jax_{arm}_s{s}", {})
+            if "test_acc" in d and "test_acc" in h:
+                dl = late_window_mean(os.path.join(args.committed, f"jax_{arm}_s{s}_history.csv"))
+                hl = late_window_mean(os.path.join(args.precision_workdir, f"jax_{arm}_s{s}", "history.csv"))
+                rows.append({
+                    "seed": s,
+                    "best_val_test_acc": [h["test_acc"], d["test_acc"]],
+                    "delta_best": round(h["test_acc"] - d["test_acc"], 2),
+                    "delta_late": (round(hl - dl, 2) if dl is not None and hl is not None else None),
+                })
+        paired[arm] = rows
+    out["paired_highest_minus_default"] = paired
+
     # pooled late-window comparison across arms (PARITY_RUN §2's 12-vs-12)
     pool = {"ref": [], "jd": [], "jh": []}
     for arm in args.arms:
