@@ -190,3 +190,24 @@ def test_preprocess_clip_flip_shared_across_modalities():
             not np.allclose(out[b, m], ref[b, m], atol=1e-5) for m in range(3)
         ]
         assert len(set(flipped)) == 1, f"sample {b}: modalities flipped inconsistently {flipped}"
+
+
+def test_preprocess_flip_rate_is_half():
+    """The train flip is per-(sample, view) Bernoulli(0.5) — the reference
+    applies torchvision RandomHorizontalFlip(p=0.5) independently per view
+    (reference: src/dataset.py:41-47, 123-127).  Statistical pin: over
+    4096 draws the empirical rate must sit inside a 5-sigma binomial band
+    around 0.5 (±0.039), and the flips must vary across BOTH axes."""
+    n, v = 2048, 2
+    imgs = np.broadcast_to(
+        (np.arange(6, dtype=np.uint8).reshape(1, 1, 1, 6, 1) * 40), (n, v, 4, 6, 3)
+    )
+    out = np.asarray(preprocess(jnp.asarray(imgs), train=True, rng=jax.random.PRNGKey(7)))
+    expected = (imgs.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    # column 0 of the ramp: normalized 0 if unflipped, normalized 200 if flipped
+    flips = ~np.isclose(out[:, :, 0, 0, 0], expected[:, :, 0, 0, 0], atol=1e-5)
+    rate = flips.mean()
+    sigma5 = 5 * 0.5 / (n * v) ** 0.5
+    assert abs(rate - 0.5) < sigma5, rate
+    # independence across views: both views' per-sample draws must differ somewhere
+    assert (flips[:, 0] != flips[:, 1]).any()
